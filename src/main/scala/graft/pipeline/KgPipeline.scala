@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.CorpusGen
+import graft.extract.Extractor
+import graft.graphout.GraphBuilder
+import graft.link.{EntityMerge, Linker}
+import graft.model.{CodeFile, Entity, Segment, Triple}
+import graft.segment.CodeSegmenter
+
+/**
+ * The flagship segment → extract → link → build flow (reference
+ * KnowledgeExtractionPipeline, src/knowledge/pipeline.py:71-210), as lazy
+ * Dataset stages. Unlike the reference (§3.1 note in SURVEY.md), edges ARE
+ * re-pointed to merged entities (C5) before materialization, and dangling
+ * edges are counted rather than silently dropped.
+ *
+ * Shuffle census for the full run (what matters at 100 TB):
+ *   segment+extract: ZERO shuffles (flatMap/mapPartitions chains)
+ *   mention dedup:   1 shuffle (hash agg on deterministic entityId,
+ *                    partial agg map-side via commutative Aggregator)
+ *   linking:         blocking shuffle + O(log n) CC iterations (alias
+ *                    pair graph is tiny relative to corpus)
+ *   edge redirect:   0 shuffles (broadcast rewrite map)
+ *   graph build:     semi-join vs nodes (broadcast-able dim) + window dedup
+ */
+object KgPipeline {
+
+  final case class Result(
+      files: Dataset[CodeFile],
+      segments: Dataset[Segment],
+      mentions: Dataset[Entity],
+      canonicalEntities: Dataset[Entity],
+      graph: GraphBuilder.Graph,
+      /** The P/R-scored projection: distinct (subjName, relType, objName). */
+      tripleSet: DataFrame
+  )
+
+  def run(spark: SparkSession, files: Dataset[CodeFile],
+          linkThreshold: Double = Linker.DefaultThreshold): Result = {
+    import spark.implicits._
+
+    val segments = CodeSegmenter.windows(files)
+    val (mentions, rawTriples) = Extractor.extract(segments)
+
+    // exact-identity dedup first (deterministic id = sha(normName|type)):
+    // one shuffle, map-side combined
+    val deduped = EntityMerge.dedupeMentions(mentions)
+
+    // fuzzy linking over the already-deduped canonical mentions
+    val linked = Linker.link(deduped, linkThreshold)
+    val redirected = Linker.redirectEdges(rawTriples, linked.rewrite)
+
+    val graph = GraphBuilder.build(linked.canonical, redirected)
+
+    val tripleSet = graph.edges.toDF()
+      .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName")), Seq("srcId"))
+      .join(graph.nodes.toDF().select($"id".as("dstId"), $"name".as("objName")), Seq("dstId"))
+      .select($"subjName", $"relType", $"objName")
+      .distinct()
+
+    Result(files, segments, mentions, linked.canonical, graph, tripleSet)
+  }
+
+  def runSynthetic(spark: SparkSession, n: Long, seed: Long = 42L): Result =
+    run(spark, CorpusGen.generate(spark, n, seed))
+}

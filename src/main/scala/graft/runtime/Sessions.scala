@@ -1,0 +1,30 @@
+package graft.runtime
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults the engine assumes:
+  * AQE on (skew-join splitting + dynamic coalescing — the north rule calls
+  * out mega-repo skew), shuffle partitions sized to cores in local mode
+  * (a real cluster deployment would size them to 2-3× total cores).
+  */
+object Sessions {
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus
+    ).getOrCreate()
+
+  def configure(
+      b: SparkSession.Builder,
+      shufflePartitions: Int
+  ): SparkSession.Builder =
+    b.appName("graft-kg")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+}
