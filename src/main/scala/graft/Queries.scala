@@ -187,6 +187,205 @@ object Queries {
     nk.except(sn)
   }
 
+  // ------------------------------------------------------- graph operators
+
+  /** Deterministic graph derived from the TPC-H tables: customers part-of
+    * nations part-of regions — lets the iterative graph operators be
+    * oracle-checked with plain SQL joins.
+    */
+  private def tpchGraph(s: SparkSession, d: String): graft.graphout.GraphBuilder.Graph = {
+    import s.implicits._
+    val cust = t(s, d, "customer").select(
+      concat(lit("cust_"), col("c_custkey")).as("id"),
+      col("c_name").as("name"), lit("person").as("entityType"),
+      lit(null).cast("string").as("context"),
+      map().cast("map<string,string>").as("attributes"),
+      lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
+      lit("").as("path"), lit("").as("contentSha"))
+    val nat = t(s, d, "nation").select(
+      concat(lit("nation_"), col("n_nationkey")).as("id"),
+      col("n_name").as("name"), lit("place").as("entityType"),
+      lit(null).cast("string").as("context"),
+      map().cast("map<string,string>").as("attributes"),
+      lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
+      lit("").as("path"), lit("").as("contentSha"))
+    val reg = t(s, d, "region").select(
+      concat(lit("region_"), col("r_regionkey")).as("id"),
+      col("r_name").as("name"), lit("place").as("entityType"),
+      lit(null).cast("string").as("context"),
+      map().cast("map<string,string>").as("attributes"),
+      lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
+      lit("").as("path"), lit("").as("contentSha"))
+    def edge(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("srcName", lit("")).withColumn("dstName", lit(""))
+        .withColumn("context", lit(null).cast("string"))
+        .withColumn("bidirectional", lit(false))
+        .withColumn("strength", lit(1.0))
+        .withColumn("attributes", map().cast("map<string,string>"))
+    val cn = edge(t(s, d, "customer").select(
+      concat(lit("cn_"), col("c_custkey")).as("id"),
+      concat(lit("cust_"), col("c_custkey")).as("srcId"),
+      concat(lit("nation_"), col("c_nationkey")).as("dstId"),
+      lit("part-of").as("relType"), lit(0.9).as("confidence"), lit("").as("segId")))
+    val nr = edge(t(s, d, "nation").select(
+      concat(lit("nr_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("region_"), col("n_regionkey")).as("dstId"),
+      lit("part-of").as("relType"), lit(0.8).as("confidence"), lit("").as("segId")))
+    graft.graphout.GraphBuilder.Graph(
+      cust.unionByName(nat).unionByName(reg).as[graft.model.Entity],
+      cn.unionByName(nr).as[graft.model.Triple])
+  }
+
+  /** Q3 traverse (iterative frontier-join BFS), incoming, depth 2. */
+  val q19_traverse_incoming: Q = (s, d) =>
+    graft.query.GraphQueryOps.traverse(tpchGraph(s, d), "region_0",
+      maxDepth = 2, direction = "incoming")
+      .select(col("parentId").as("parent_id"), col("relId").as("rel_id"),
+        col("relType").as("rel_type"), col("direction"),
+        col("childId").as("child_id"), col("depth"))
+
+  /** Q4 find_path BFS with cycle avoidance; path projected as a string. */
+  val q20_find_path: Q = (s, d) => {
+    val g = tpchGraph(s, d)
+    // destination: the region of customer 1 (tiny driver lookup)
+    val dst = t(s, d, "customer").where(col("c_custkey") === 1)
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("region_"), col("n_regionkey"))).head().getString(0)
+    graft.query.GraphQueryOps.findPath(g, "cust_1", dst)
+      .select(concat_ws("/", col("path")).as("path_str"), col("depth"))
+  }
+
+  /** X11 transitive inference: 2-hop part-of chains ⇒ inferred edge with
+    * conf = c1*c2*0.9, existing edges anti-joined away.
+    */
+  val q21_infer_transitive: Q = (s, d) =>
+    graft.reason.Reasoning.inferTransitive(tpchGraph(s, d), minConfidence = 0.5)
+      .select(col("srcId").as("src_id"), col("dstId").as("dst_id"),
+        col("relType").as("rel_type"), round(col("confidence"), 6).as("confidence"))
+
+  /** X13 inverse inference: nation contains customer ⇒ customer part-of
+    * nation at conf×0.95.
+    */
+  val q22_infer_inverse: Q = (s, d) => {
+    import s.implicits._
+    val nodes = tpchGraph(s, d).nodes
+    val contains = t(s, d, "customer").select(
+      concat(lit("nc_"), col("c_custkey")).as("id"),
+      concat(lit("nation_"), col("c_nationkey")).as("srcId"),
+      concat(lit("cust_"), col("c_custkey")).as("dstId"),
+      lit("").as("srcName"), lit("").as("dstName"),
+      lit("contains").as("relType"), lit(null).cast("string").as("context"),
+      lit(false).as("bidirectional"), lit(1.0).as("strength"),
+      lit(0.9).as("confidence"), lit("").as("segId"),
+      map().cast("map<string,string>").as("attributes")).as[graft.model.Triple]
+    graft.reason.Reasoning.inferInverse(
+      graft.graphout.GraphBuilder.Graph(nodes, contains))
+      .select(col("srcId").as("src_id"), col("dstId").as("dst_id"),
+        col("relType").as("rel_type"), round(col("confidence"), 6).as("confidence"))
+  }
+
+  /** V1 cycle check over a planted cyclic subgraph (rows-only would hide
+    * regressions — oracle derivable because the cycle is planted in SQL).
+    */
+  val q23_cycle_check: Q = (s, d) => {
+    import s.implicits._
+    // plant: region_0 is-a region_1 is-a region_2 is-a region_0 + chain out
+    val nodes = tpchGraph(s, d).nodes
+    val cyc = Seq(
+      ("cy1", "region_0", "region_1"), ("cy2", "region_1", "region_2"),
+      ("cy3", "region_2", "region_0"), ("cy4", "region_2", "region_3"))
+      .toDF("id", "srcId", "dstId")
+      .withColumn("srcName", lit("")).withColumn("dstName", lit(""))
+      .withColumn("relType", lit("is-a"))
+      .withColumn("context", lit(null).cast("string"))
+      .withColumn("bidirectional", lit(false))
+      .withColumn("strength", lit(1.0)).withColumn("confidence", lit(1.0))
+      .withColumn("segId", lit(""))
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .as[graft.model.Triple]
+    graft.graphout.Verifier.cyclicDependencies(
+      graft.graphout.GraphBuilder.Graph(nodes, cyc))
+      .select(col("involvedElements").getItem(0).as("node_id"), col("severity"))
+  }
+
+  // ---------------------------------------------- training-data pipeline ops
+
+  /** MinHash+LSH near-dup candidates verified with exact n-gram Jaccard
+    * (no SQL oracle: xxhash64 banding isn't expressible in DuckDB).
+    */
+  val q24_minhash_dedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+    graft.ops.Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
+      .where(col("jaccard") >= 0.8)
+  }
+
+  /** SimHash near-dup candidates (rows-only). */
+  val q25_simhash_dedup: Q = (s, d) =>
+    graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
+
+  /** Brute-force pairwise embedding cosine ≥ τ (oracle via
+    * list_dot_product — same pattern as q16).
+    */
+  val q26_embed_pairs: Q = (s, d) => {
+    val e = t(s, d, "embeddings").where(col("vec_id") < 500)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").cast("array<double>").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").cast("array<double>").as("vb"))
+    a.crossJoin(b).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        round(graft.ops.Ann.cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= 0.5)
+  }
+
+  /** Embedding near-dup via hyperplane-LSH blocking (rows-only: recall<1
+    * by design vs the brute-force oracle above).
+    */
+  val q27_embed_neardup_lsh: Q = (s, d) =>
+    graft.ops.Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
+
+  /** IVF approximate top-k ANN (rows-only: approximate by construction). */
+  val q28_ann_ivf: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    graft.ops.Ann.ivfTopK(emb, queries, c = 16, nProbe = 4, k = 10)
+  }
+
+  /** Language-ID heuristic (rows-only; deterministic lexicon argmax). */
+  val q29_langid: Q = (s, d) =>
+    graft.ops.TextAnalysis.languageId(t(s, d, "documents"))
+
+  /** Document fingerprints (rows-only: xxhash64 not in DuckDB). */
+  val q30_fingerprint: Q = (s, d) =>
+    graft.ops.TextAnalysis.fingerprints(t(s, d, "documents"))
+
+  /** Multimodal feature-extraction plumbing over a deterministic synthetic
+    * media corpus (decode stubbed; schema/batching real). Rows-only.
+    */
+  val q31_multimodal: Q = (s, _) =>
+    graft.ops.Multimodal.extractFeatures(
+      graft.ops.Multimodal.syntheticMedia(s, 2000)).toDF()
+
+  /** Sessionization: per-user session ids via 30-min gaps — lag window +
+    * running sum (streaming-shaped logic in batch form).
+    */
+  val q32_sessions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMin = 30 * 60
+    t(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMin * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   val all: Map[String, Q] = Map(
@@ -208,13 +407,32 @@ object Queries {
     "q16_ann_brute" -> q16_ann_brute,
     "q17_events_agg" -> q17_events_agg,
     "q18_set_ops" -> q18_set_ops,
+    "q19_traverse_incoming" -> q19_traverse_incoming,
+    "q20_find_path" -> q20_find_path,
+    "q21_infer_transitive" -> q21_infer_transitive,
+    "q22_infer_inverse" -> q22_infer_inverse,
+    "q23_cycle_check" -> q23_cycle_check,
+    "q24_minhash_dedup" -> q24_minhash_dedup,
+    "q25_simhash_dedup" -> q25_simhash_dedup,
+    "q26_embed_pairs" -> q26_embed_pairs,
+    "q27_embed_neardup_lsh" -> q27_embed_neardup_lsh,
+    "q28_ann_ivf" -> q28_ann_ivf,
+    "q29_langid" -> q29_langid,
+    "q30_fingerprint" -> q30_fingerprint,
+    "q31_multimodal" -> q31_multimodal,
+    "q32_sessions" -> q32_sessions,
     // engine-native (no SQL oracle → rows-only driver check)
-    "kg_tripleset" -> ((s, _) => pipeline.KgPipeline.runSynthetic(s, 400).tripleSet),
-    "kg_stats" -> ((s, _) => {
-      val r = pipeline.KgPipeline.runSynthetic(s, 200)
-      graphout.GraphBuilder.stats(r.graph)
-    })
+    "kg_tripleset" -> ((s, _) => sharedKg(s).tripleSet),
+    "kg_stats" -> ((s, _) => graphout.GraphBuilder.stats(sharedKg(s).graph))
   )
+
+  // one pipeline run shared by the kg_* entries (avoids recomputing the
+  // linking stage per query)
+  private var kgCache: pipeline.KgPipeline.Result = null
+  private def sharedKg(s: SparkSession): pipeline.KgPipeline.Result = synchronized {
+    if (kgCache == null) kgCache = pipeline.KgPipeline.runSynthetic(s, 400)
+    kgCache
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
@@ -288,6 +506,56 @@ object Queries {
     "q18_set_ops" ->
       """SELECT CAST(n_nationkey AS INT) AS nk FROM nation
         |EXCEPT SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
-        |WHERE s_acctbal > 7000""".stripMargin
+        |WHERE s_acctbal > 7000""".stripMargin,
+    "q19_traverse_incoming" ->
+      """SELECT 'region_0' AS parent_id, 'nr_' || n_nationkey AS rel_id,
+        |  'part-of' AS rel_type, 'incoming' AS direction,
+        |  'nation_' || n_nationkey AS child_id, 1 AS depth
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT 'nation_' || c_nationkey, 'cn_' || c_custkey, 'part-of',
+        |  'incoming', 'cust_' || c_custkey, 2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 0""".stripMargin,
+    "q20_find_path" ->
+      """SELECT 'cust_1/nation_' || c_nationkey || '/region_' || n_regionkey AS path_str,
+        |  2 AS depth
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey = 1""".stripMargin,
+    "q21_infer_transitive" ->
+      """SELECT 'cust_' || c_custkey AS src_id, 'region_' || n_regionkey AS dst_id,
+        |  'part-of' AS rel_type, round(0.9 * 0.8 * 0.9, 6) AS confidence
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q22_infer_inverse" ->
+      """SELECT 'cust_' || c_custkey AS src_id, 'nation_' || c_nationkey AS dst_id,
+        |  'part-of' AS rel_type, round(0.9 * 0.95, 6) AS confidence
+        |FROM customer""".stripMargin,
+    "q23_cycle_check" ->
+      """SELECT node_id, 'critical' AS severity FROM (VALUES ('region_0'),
+        |  ('region_1'), ('region_2')) AS t(node_id)""".stripMargin,
+    "q26_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_dot_product(a.embedding, b.embedding) /
+        |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding, b.embedding) /
+        |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5""".stripMargin,
+    "q32_sessions" ->
+      """SELECT user_id, session_seq, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value FROM (
+        |  SELECT user_id, value, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,176 @@
+package graft.graphout
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.graphout.GraphBuilder.Graph
+import graft.model.{Issue, Severity}
+
+/**
+ * Rule-based graph verification V1-V4 (SURVEY.md §2.6; reference
+ * src/knowledge/knowledge_verifier.py) as DataFrame jobs. The reference's
+ * whole-graph LLM pass (V5) is out of scope at 10^12 scale — the
+ * deterministic checks plus counters are the verification contract.
+ *
+ * A graph is valid iff no critical issue (knowledge_verifier.py:78-82).
+ */
+object Verifier {
+
+  /** Hierarchical relation types whose directed graph must be acyclic
+    * (knowledge_verifier.py:198-205).
+    */
+  val HierarchicalTypes: Seq[String] =
+    Seq("is-a", "part-of", "subclass-of", "contains", "includes")
+
+  /** Transitive types scanned for semantic contradictions
+    * (knowledge_verifier.py:424-437).
+    */
+  val TransitiveTypes: Seq[String] = Seq("is-a", "part-of", "subclass-of")
+
+  /** Direct-contradiction edge types for V4 (knowledge_verifier.py:445-450). */
+  val NegationTypes: Seq[String] = Seq("is-not-a", "different-from", "separate-from")
+
+  /** Opposites table (knowledge_verifier.py:320-328), symmetrized as the
+    * reference does at :331-335.
+    */
+  val Opposites: Seq[(String, String)] = {
+    val base = Seq(
+      "is-a" -> Seq("is-not-a", "different-from"),
+      "part-of" -> Seq("separate-from", "unrelated-to"),
+      "causes" -> Seq("prevents", "unrelated-to"),
+      "depends-on" -> Seq("independent-of"),
+      "similar-to" -> Seq("different-from", "opposite-of"),
+      "greater-than" -> Seq("less-than", "equal-to"),
+      "before" -> Seq("after", "simultaneous-with")
+    )
+    val fwd = base.flatMap { case (k, vs) => vs.map(v => (k, v)) }
+    (fwd ++ fwd.map(_.swap)).distinct
+  }
+
+  import graft.model.Issue
+
+  /** V1 cyclic-dependency check: nodes on a hierarchical-type cycle.
+    * DFS in the reference (knowledge_verifier.py:184-271); here a bounded
+    * iterated frontier-join: propagate reachability up to maxDepth hops
+    * and flag nodes that reach themselves. CRITICAL.
+    */
+  def cyclicDependencies(g: Graph, maxDepth: Int = 10): Dataset[Issue] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val h = g.edges.toDF()
+      .where(lower($"relType").isin(HierarchicalTypes: _*))
+      .select($"srcId".as("src"), $"dstId".as("dst")).distinct()
+      .localCheckpoint(true)
+
+    // paths(origin, last); a cycle exists when last == origin after ≥1 hop
+    var reach = h.select($"src".as("origin"), $"dst".as("last"))
+    var cycles = reach.where($"origin" === $"last")
+    var depth = 1
+    while (depth < maxDepth && !reach.isEmpty) {
+      reach = reach.join(h.withColumnRenamed("src", "last"), Seq("last"))
+        .select($"origin", $"dst".as("last"))
+        .distinct()
+        .localCheckpoint(true)
+      cycles = cycles.union(reach.where($"origin" === $"last"))
+      // prune: only keep paths that could still close a new cycle
+      reach = reach.where($"origin" =!= $"last")
+      depth += 1
+    }
+    cycles.select($"origin").distinct()
+      .map(r => Issue(
+        issueType = "cyclic_dependency",
+        involvedElements = Seq(r.getString(0)),
+        proposedSolution = "Remove one edge of the hierarchical cycle",
+        severity = Severity.Critical))
+  }
+
+  /** V2 dangling references: edges whose src/dst id is not a node —
+    * two anti joins (knowledge_verifier.py:273-305). CRITICAL.
+    */
+  def danglingReferences(g: Graph): Dataset[Issue] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val ids = g.nodes.toDF().select($"id").distinct()
+    val badSrc = g.edges.toDF()
+      .join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_anti")
+      .select($"id", $"srcId".as("missing"))
+    val badDst = g.edges.toDF()
+      .join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_anti")
+      .select($"id", $"dstId".as("missing"))
+    badSrc.union(badDst)
+      .map(r => Issue(
+        issueType = "dangling_reference",
+        involvedElements = Seq(r.getString(0), r.getString(1)),
+        proposedSolution = "Remove the relationship or add the missing entity",
+        severity = Severity.Critical))
+  }
+
+  /** V3 contradictory relationships: same (src,dst) pair carrying opposite
+    * types — self-join + broadcast opposites (knowledge_verifier.py:307-394).
+    * MEDIUM.
+    */
+  def contradictoryRelationships(g: Graph): Dataset[Issue] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val opp = broadcast(Opposites.toDF("typeA", "typeB"))
+    val e = g.edges.toDF().select($"id", $"srcId", $"dstId", lower($"relType").as("rt"))
+    val a = e.select($"srcId", $"dstId", $"id".as("idA"), $"rt".as("typeA"))
+    val b = e.select($"srcId", $"dstId", $"id".as("idB"), $"rt".as("typeB"))
+    a.join(b, Seq("srcId", "dstId"))
+      .where($"idA" < $"idB")
+      .join(opp, Seq("typeA", "typeB"), "left_semi")
+      .map(r => Issue(
+        issueType = "contradictory_relationships",
+        involvedElements = Seq(r.getAs[String]("idA"), r.getAs[String]("idB")),
+        proposedSolution = "Keep the higher-confidence relationship",
+        severity = Severity.Medium))
+  }
+
+  /** V4 transitive contradictions: endpoints reachable via ≥2 hops of one
+    * transitive type, with a direct negation edge between them
+    * (knowledge_verifier.py:396-477). MEDIUM.
+    */
+  def semanticContradictions(g: Graph, maxHops: Int = 4): Dataset[Issue] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val neg = g.edges.toDF()
+      .where(lower($"relType").isin(NegationTypes: _*))
+      .select($"srcId".as("origin"), $"dstId".as("last"))
+      .distinct()
+
+    val issues = TransitiveTypes.map { tt =>
+      val h = g.edges.toDF().where(lower($"relType") === tt)
+        .select($"srcId".as("src"), $"dstId".as("dst")).distinct()
+        .localCheckpoint(true)
+      // reachable in [2, maxHops] hops
+      var paths = h.select($"src".as("origin"), $"dst".as("last"))
+      var hop = 1
+      var acc: DataFrame = null
+      while (hop < maxHops && !paths.isEmpty) {
+        paths = paths.join(h.withColumnRenamed("src", "last"), Seq("last"))
+          .select($"origin", $"dst".as("last")).distinct().localCheckpoint(true)
+        acc = if (acc == null) paths else acc.union(paths)
+        hop += 1
+      }
+      if (acc == null) spark.emptyDataset[Issue]
+      else acc.distinct()
+        .join(neg, Seq("origin", "last"), "left_semi")
+        .map(r => Issue(
+          issueType = s"transitive_contradiction_$tt",
+          involvedElements = Seq(r.getAs[String]("origin"), r.getAs[String]("last")),
+          proposedSolution = s"Resolve conflict between $tt chain and direct negation",
+          severity = Severity.Medium))
+    }
+    issues.reduce(_ union _)
+  }
+
+  final case class Verification(issues: Dataset[Issue], isValid: Boolean)
+
+  def verify(g: Graph): Verification = {
+    val all = cyclicDependencies(g)
+      .union(danglingReferences(g))
+      .union(contradictoryRelationships(g))
+      .union(semanticContradictions(g))
+    val critical = all.where(col("severity") === Severity.Critical).limit(1).count()
+    Verification(all, critical == 0)
+  }
+}

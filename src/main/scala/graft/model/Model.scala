@@ -74,7 +74,8 @@ final case class Triple(
     bidirectional: Boolean,
     strength: Double,
     confidence: Double,
-    segId: String
+    segId: String,
+    attributes: Map[String, String] = Map.empty
 )
 
 /** Verification issue (knowledge_verifier.py:30-64). Severity is one of

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (Array[Float]) for training-data pipelines.
+ *
+ *  - bruteForceTopK: exact cosine top-k — the correctness baseline. Query
+ *    vectors are broadcast; the corpus is scanned once; dot products stay
+ *    inside codegen'd higher-order functions (zip_with + aggregate).
+ *  - ivfTopK: the scale path — k-means-lite coarse quantizer (IVF):
+ *    assign every vector to its nearest of C centroids (broadcast), probe
+ *    only the nProbe closest cells at query time. At 100 TB the cell
+ *    assignment is the only full-corpus pass; queries touch
+ *    nProbe/C of the data.
+ */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest by cosine for each query row.
+    * @param queries small DataFrame (broadcast) with (qIdCol, vecCol)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     qIdCol: String = "q_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qIdCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic centroid seeding: the C vectors with the smallest
+    * xxhash of their id (stable across runs/parallelism) — a k-means++
+    * stand-in that needs zero iterations; one Lloyd refinement pass
+    * optionally follows.
+    */
+  def seedCentroids(corpus: DataFrame, c: Int, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame =
+    corpus
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(c).drop("h")
+
+  /** IVF cell assignment: nearest centroid per corpus vector (broadcast
+    * centroids; argmin over a struct-sorted array — pure columns).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    c.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(desc("sim"), asc("cid"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** IVF query: probe the nProbe nearest cells only. Returns same schema
+    * as bruteForceTopK; recall < 1 by construction (the scale/recall
+    * trade).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, c: Int = 16, nProbe: Int = 4,
+              k: Int = 10, vecCol: String = "embedding", idCol: String = "vec_id",
+              qIdCol: String = "q_id"): DataFrame = {
+    val centroids = seedCentroids(corpus, c, vecCol, idCol).localCheckpoint(true)
+    val cells = assignCells(corpus, centroids, vecCol, idCol)
+    val q = queries.select(col(qIdCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    // nProbe nearest cells per query
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cid").as("cell"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("csim"), asc("cell"))))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("id"))
+    probes.join(cells, Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

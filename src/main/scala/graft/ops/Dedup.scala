@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data
+ * pipelines. All set-oriented; each returns a DataFrame so results can be
+ * checkpointed / oracle-compared.
+ *
+ * Scale design notes:
+ *  - exact: one hash-aggregate shuffle on a 128-bit content hash.
+ *  - minhashLsh: shingles → k minhashes → b bands; candidate pairs come
+ *    from a band-bucket self-join (shuffle on band key), never an
+ *    all-pairs product. Band buckets are capped (skew backstop for
+ *    boilerplate documents that collide everywhere).
+ *  - simhash: 64-bit fingerprint via per-token hash bit-voting; near-dups
+ *    = Hamming distance ≤ k, found by pigeonhole banding (4 bands of 16
+ *    bits — any pair at distance ≤3 shares at least one exact band).
+ *  - ngramJaccard: exact verification metric used on candidate pairs.
+ */
+object Dedup {
+
+  /** Exact dedup groups: md5 of raw text (hash-groupBy). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Word n-gram shingles of a text column (codegen'd: transform over a
+    * split array, no UDF).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) =>
+          when(i + n <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        x => x.isNotNull))
+  }
+
+  /** k minhash values over a shingle array: minhash_j = min over shingles
+    * of h_j(shingle), with h_j(x) = xxhash64(x, seed=j). Pure built-ins —
+    * evaluated entirely in codegen.
+    */
+  def minhashes(shingleArr: Column, k: Int = 32): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    * @param bands b bands of r = k/b rows each; P(candidate) ≈ 1-(1-s^r)^b
+    * @return (idA, idB, jaccardEstimate) with idA < idB
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
+                      maxBucket: Int = 256): DataFrame = {
+    val r = k / bands
+    val withMh = docs
+      .select(col(idCol).as("id"), minhashes(shingles(col(textCol)), k).as("mh"))
+    // one row per band: (band, bandHash, id, mh)
+    val banded = withMh.select(
+      col("id"), col("mh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("mh"), b * r + 1, r).cast("array<string>")), lit(b))
+      }: _*)).as(Seq("band", "bandHash")))
+    // cap bucket size (boilerplate-skew backstop)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bandHash").orderBy("id")
+    val capped = banded.withColumn("rn", row_number().over(w)).where(col("rn") <= maxBucket)
+    val a = capped.select(col("band"), col("bandHash"),
+      col("id").as("idA"), col("mh").as("mhA"))
+    val b = capped.select(col("band"), col("bandHash"),
+      col("id").as("idB"), col("mh").as("mhB"))
+    a.join(b, Seq("band", "bandHash"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("mhA"), col("mhB"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("jaccard_est"))
+      .dropDuplicates("idA", "idB")
+  }
+
+  /** 64-bit SimHash of a text column: per-token xxhash64, bit-voting done
+    * as 64 weighted sums expressed with bitwise ops in pure columns would
+    * be 64 aggregates — instead use an efficient per-row computation over
+    * the token array (aggregate over bits via transform+reduce).
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(text, "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit i: set iff (#tokens with bit set) * 2 > #tokens
+    val n = size(toks)
+    val bits = (0 until 64).map { i =>
+      val votes = size(filter(hashes, h => h.bitwiseAND(lit(1L << i)) =!= 0))
+      when(votes * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup candidates by pigeonhole banding: 4 bands × 16 bits;
+    * Hamming distance ≤ 3 ⇒ at least one identical band.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = withSh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "bandVal")))
+    val a = banded.select(col("band"), col("bandVal"), col("id").as("idA"), col("sh").as("shA"))
+    val b = banded.select(col("band"), col("bandVal"), col("id").as("idB"), col("sh").as("shB"))
+    val hamming = bit_count(col("shA").bitwiseXOR(col("shB")))
+    a.join(b, Seq("band", "bandVal"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("idA", "idB")
+  }
+
+  /** Exact n-gram Jaccard similarity between all candidate pairs produced
+    * by a blocking stage (verification metric).
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicate pairs above a threshold, blocked by a
+    * coarse LSH of random-hyperplane signs (8-bit signature from
+    * deterministic pseudo-random planes — seeded by dimension index).
+    */
+  def embeddingNearDup(emb: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame = {
+    // 8 pseudo-random hyperplanes: plane p has components
+    // sin(p * 12.9898 + dim * 78.233) — deterministic, no data movement.
+    def planeSig(v: Column): Column = {
+      val dots = (0 until 8).map { p =>
+        aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * sin(lit(p.toDouble * 12.9898) + i * 78.233)),
+          lit(0.0), (acc, x) => acc + x)
+      }
+      val bits = dots.zipWithIndex.map { case (d, i) =>
+        when(d > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", planeSig(col("v")))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = v.select(col("sig"), col("id").as("idA"), col("v").as("vA"), col("norm").as("nA"))
+    val b = v.select(col("sig"), col("id").as("idB"), col("v").as("vB"), col("norm").as("nB"))
+    a.join(b, Seq("sig"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (dot(col("vA"), col("vB")) / (col("nA") * col("nB"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, fingerprinting. All pure column
+ * expressions (whole-stage codegen) — no UDFs in the hot path.
+ */
+object TextAnalysis {
+
+  /** Language-ID heuristic: score against per-language stopword lexicons
+    * (n-gram/stopword-hit heuristic; the reference delegates to langdetect
+    * over the first 1000 chars, src/utils/language.py:60-85 — ours is the
+    * deterministic broadcast-lexicon equivalent).
+    */
+  val StopwordLexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "que", "dans"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "это", "как", "по", "из")
+  )
+
+  /** Per-language stopword hit counts + argmax language guess. */
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(lower(substring(col(textCol), 1, 1000)), "\\s+")
+    val scores = StopwordLexicon.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(w => lit(w): Any): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col(idCol),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("lang").as("lang_guess"),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("hits").as("lang_hits"))
+  }
+
+  /** Quality scoring: length / punctuation / stopword / repetition ratios
+    * — the standard pre-training corpus filters, as exact-arithmetic
+    * columns so results are engine-independent.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val toks = split(text, "\\s+")
+    val stop = StopwordLexicon("en")
+    docs.select(
+      col(idCol),
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      size(filter(toks, t => t.isin(stop.map(w => lit(w): Any): _*))).as("n_stopwords"),
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).as("n_punct"))
+  }
+
+  /** Token count: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4) — the reference's count_tokens_approx,
+    * src/utils/text_utils.py:108-126).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), "\\s+")).as("ws_tokens"),
+      ceil(length(col(textCol)) / 4).as("approx_bpe_tokens"),
+      size(filter(
+        split(col(textCol), "(?=[\\p{Punct}\\s])|(?<=[\\p{Punct}\\s])"),
+        t => length(trim(t)) > 0)).as("subword_splits"))
+
+  /** Document fingerprint: rolling hash of the token stream (order-
+    * sensitive — reordered tokens give different fingerprints, unlike a
+    * bag-of-words hash). Chained xxhash64 keeps the fold inside 64 bits
+    * without ANSI-mode multiply overflow.
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    aggregate(toks, lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+  }
+
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** NL-vs-code heuristic (reference is_natural_language_text,
+    * src/utils/text_utils.py:269-306): code markers / special-char ratio /
+    * average word length — as a boolean column.
+    */
+  def isNaturalLanguage(text: Column): Column = {
+    val specials = length(text) - length(regexp_replace(text, "[{}();=<>\\[\\]]", ""))
+    val specialRatio = specials.cast("double") / greatest(length(text), lit(1))
+    val hasCodeMarker = text.rlike("(?m)^\\s*(def |class |import |package |#include|function )")
+    !hasCodeMarker && specialRatio < 0.05
+  }
+}

@@ -1,0 +1,284 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.graphout.GraphBuilder.Graph
+import graft.link.ConnectedComponents
+import graft.model.{Entity, Triple}
+
+/**
+ * Graph query operators Q1-Q10 (SURVEY.md §2.8) — each a lazy plan over
+ * the nodes/edges Datasets, replacing the reference's O(N)-scan-per-query
+ * GraphQuery (src/graph_management/graph_query.py). Catalyst pushes the
+ * predicates to the storage scan; iterative operators (traverse/paths/CC)
+ * are driver loops of joins with bounded depth, exactly the caps the
+ * reference uses (10 paths, depth 5, 100 subgraph rels).
+ */
+object GraphQueryOps {
+
+  /** Q1 find_entities predicate language (graph_query.py:491-554):
+    * entity_type, name exact / contains / regex, confidence min/max,
+    * attribute equality. Pass None to skip a predicate.
+    */
+  final case class EntityQuery(
+      entityType: Option[String] = None,
+      name: Option[String] = None,
+      nameContains: Option[String] = None,
+      nameRegex: Option[String] = None,
+      minConfidence: Option[Double] = None,
+      maxConfidence: Option[Double] = None,
+      attrEquals: Map[String, String] = Map.empty
+  )
+
+  def findEntities(g: Graph, q: EntityQuery, limit: Option[Int] = None): Dataset[Entity] = {
+    var ds = g.nodes
+    q.entityType.foreach(t => ds = ds.where(col("entityType") === t))
+    q.name.foreach(n => ds = ds.where(col("name") === n))
+    q.nameContains.foreach(n => ds = ds.where(col("name").contains(n)))
+    q.nameRegex.foreach(r => ds = ds.where(col("name").rlike(r)))
+    q.minConfidence.foreach(c => ds = ds.where(col("confidence") >= c))
+    q.maxConfidence.foreach(c => ds = ds.where(col("confidence") <= c))
+    q.attrEquals.foreach { case (k, v) =>
+      ds = ds.where(element_at(col("attributes"), k) === v)
+    }
+    limit.map(ds.limit).getOrElse(ds)
+  }
+
+  /** Q2 find_relationships (graph_query.py:556-635). */
+  final case class RelQuery(
+      relType: Option[String] = None,
+      srcId: Option[String] = None,
+      dstId: Option[String] = None,
+      minConfidence: Option[Double] = None,
+      minStrength: Option[Double] = None,
+      bidirectional: Option[Boolean] = None
+  )
+
+  def findRelationships(g: Graph, q: RelQuery, limit: Option[Int] = None): Dataset[Triple] = {
+    var ds = g.edges
+    q.relType.foreach(t => ds = ds.where(col("relType") === t))
+    q.srcId.foreach(v => ds = ds.where(col("srcId") === v))
+    q.dstId.foreach(v => ds = ds.where(col("dstId") === v))
+    q.minConfidence.foreach(c => ds = ds.where(col("confidence") >= c))
+    q.minStrength.foreach(c => ds = ds.where(col("strength") >= c))
+    q.bidirectional.foreach(b => ds = ds.where(col("bidirectional") === b))
+    limit.map(ds.limit).getOrElse(ds)
+  }
+
+  /** Q3 traverse — k-hop neighborhood as rows (depth, parentId, relId,
+    * relType, direction, childId), reference graph_query.py:88-177.
+    * direction ∈ {outgoing, incoming, both}; global visited-set semantics
+    * (a node is expanded once, at its first depth).
+    */
+  def traverse(
+      g: Graph,
+      startId: String,
+      maxDepth: Int = 3,
+      direction: String = "outgoing",
+      relTypes: Option[Seq[String]] = None,
+      entityTypes: Option[Seq[String]] = None
+  ): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+
+    val out = g.edges.toDF().select(
+      $"srcId".as("fromId"), $"dstId".as("toId"), $"id".as("relId"),
+      $"relType", lit("outgoing").as("direction"))
+    val in = g.edges.toDF().select(
+      $"dstId".as("fromId"), $"srcId".as("toId"), $"id".as("relId"),
+      $"relType", lit("incoming").as("direction"))
+    var adj = direction match {
+      case "outgoing" => out
+      case "incoming" => in
+      case _ => out.union(in)
+    }
+    relTypes.foreach(ts => adj = adj.where($"relType".isin(ts: _*)))
+    entityTypes.foreach { ts =>
+      adj = adj.join(
+        g.nodes.toDF().select($"id".as("toId"), $"entityType"), Seq("toId"))
+        .where($"entityType".isin(ts: _*)).drop("entityType")
+    }
+
+    var visited = Seq(startId).toDF("id")
+    var frontier = Seq(startId).toDF("fromId")
+    var acc = spark.emptyDataFrame
+    var accInit = false
+    var depth = 1
+    while (depth <= maxDepth && !frontier.isEmpty) {
+      val step = frontier.join(adj, Seq("fromId"))
+        .join(visited.withColumnRenamed("id", "toId"), Seq("toId"), "left_anti")
+        .select($"fromId".as("parentId"), $"relId", $"relType", $"direction",
+          $"toId".as("childId"), lit(depth).as("depth"))
+        .dropDuplicates("childId") // visited-once semantics
+        .localCheckpoint(true)
+      acc = if (!accInit) { accInit = true; step } else acc.union(step)
+      visited = visited.union(step.select($"childId".as("id"))).distinct().localCheckpoint(true)
+      frontier = step.select($"childId".as("fromId")).distinct()
+      depth += 1
+    }
+    if (!accInit)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("parentId", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("relId", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("relType", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("direction", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("childId", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.IntegerType))))
+    else acc
+  }
+
+  /** Q4 find_path — BFS paths src→dst, outgoing edges only, per-path cycle
+    * avoidance, cap `maxPaths` results (reference caps 10 at
+    * graph_query.py:210, depth default 5). Returns rows (path: array<id>,
+    * depth).
+    */
+  def findPath(g: Graph, srcId: String, dstId: String, maxDepth: Int = 5,
+               maxPaths: Int = 10): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val adj = g.edges.toDF().select($"srcId".as("last"), $"dstId".as("next"))
+      .distinct()
+
+    var paths = Seq((Array(srcId), srcId)).toDF("path", "last")
+    var found = Seq.empty[Seq[String]].toDF("path")
+    var depth = 0
+    while (depth < maxDepth && !paths.isEmpty) {
+      val stepped = paths.join(adj, Seq("last"))
+        .where(!array_contains($"path", $"next"))
+        .select(concat($"path", array($"next")).as("path"), $"next".as("last"))
+        .localCheckpoint(true)
+      val hits = stepped.where($"last" === dstId).select($"path")
+      found = found.union(hits)
+      paths = stepped.where($"last" =!= dstId)
+      depth += 1
+      // early exit when enough paths found (driver-side limit check)
+      if (found.limit(maxPaths).count() >= maxPaths) depth = maxDepth
+    }
+    found.withColumn("depth", size($"path") - 1)
+      .orderBy(asc("depth"), asc("path")).limit(maxPaths)
+  }
+
+  /** Q5 search_text — regex over name/context/attribute values, optional
+    * case sensitivity (graph_query.py:255-295, 689-724).
+    */
+  def searchText(g: Graph, pattern: String, caseSensitive: Boolean = false,
+                 entityType: Option[String] = None): Dataset[Entity] = {
+    val p = if (caseSensitive) pattern else "(?i)" + pattern
+    var ds = g.nodes.where(
+      col("name").rlike(p) ||
+        coalesce(col("context"), lit("")).rlike(p) ||
+        exists(map_values(col("attributes")), v => v.rlike(p)))
+    entityType.foreach(t => ds = ds.where(col("entityType") === t))
+    ds
+  }
+
+  /** Q6 get_subgraph — induced subgraph of an id set, optional 1-hop
+    * neighbor closure, relationship cap (graph_query.py:297-354).
+    */
+  def getSubgraph(g: Graph, ids: Seq[String], includeNeighbors: Boolean = false,
+                  maxRelationships: Int = 100): Graph = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val idDf = ids.toDF("id")
+    val baseIds =
+      if (!includeNeighbors) idDf
+      else {
+        val nbrs = g.edges.toDF()
+          .join(idDf.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+          .select($"dstId".as("id"))
+          .union(g.edges.toDF()
+            .join(idDf.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
+            .select($"srcId".as("id")))
+        idDf.union(nbrs).distinct()
+      }
+    val nodes = g.nodes.join(broadcast(baseIds), Seq("id"), "left_semi").as[Entity]
+    val edges = g.edges.toDF()
+      .join(broadcast(baseIds.withColumnRenamed("id", "srcId")), Seq("srcId"), "left_semi")
+      .join(broadcast(baseIds.withColumnRenamed("id", "dstId")), Seq("dstId"), "left_semi")
+      .limit(maxRelationships)
+      .as[Triple]
+    Graph(nodes, edges)
+  }
+
+  /** Q7 filter_by_confidence — keep entities and/or edges ≥ τ; edges also
+    * require both endpoints present (graph_query.py:356-398).
+    */
+  def filterByConfidence(g: Graph, minConfidence: Double,
+                         applyTo: String = "both"): Graph = {
+    import g.nodes.sparkSession.implicits._
+    val nodes =
+      if (applyTo == "relationships") g.nodes
+      else g.nodes.where(col("confidence") >= minConfidence)
+    val edgesConf =
+      if (applyTo == "entities") g.edges
+      else g.edges.where(col("confidence") >= minConfidence)
+    val nodeIds = nodes.select(col("id")).distinct()
+    val edges = edgesConf.toDF()
+      .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+      .join(nodeIds.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
+      .as[Triple]
+    Graph(nodes, edges)
+  }
+
+  /** Q8 connected components (undirected view): (id, comp). */
+  def connectedComponents(g: Graph): DataFrame =
+    ConnectedComponents.withIsolated(
+      g.edges.toDF().select(col("srcId").as("src"), col("dstId").as("dst")),
+      g.nodes.toDF().select(col("id")))
+
+  /** Q9 degree centrality top-k: explode endpoints → count →
+    * TakeOrderedAndProject (sort+limit).
+    */
+  def topKByDegree(g: Graph, k: Int = 10): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    g.edges.toDF()
+      .select(explode(array($"srcId", $"dstId")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .join(g.nodes.toDF().select($"id", $"name"), Seq("id"))
+      .orderBy(desc("degree"), asc("id"))
+      .limit(k)
+  }
+
+  /** Q9 pagerank — iterative join-aggregate loop with damping 0.85.
+    * Dangling mass is redistributed uniformly each iteration.
+    */
+  def pagerank(g: Graph, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val n = g.nodes.count().toDouble
+    val edges = g.edges.toDF().select($"srcId", $"dstId").distinct()
+      .localCheckpoint(true)
+    val outDeg = edges.groupBy($"srcId").agg(count(lit(1)).as("outDeg"))
+    var ranks = g.nodes.toDF().select($"id", lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "srcId"), Seq("srcId"))
+        .join(outDeg, Seq("srcId"))
+        .select($"dstId".as("id"), ($"rank" / $"outDeg").as("contrib"))
+        .groupBy("id").agg(sum($"contrib").as("inSum"))
+      // dangling nodes (no out-edges) leak rank; redistribute uniformly
+      val danglingMass = ranks
+        .join(outDeg.withColumnRenamed("srcId", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0))).head().getDouble(0)
+      ranks = g.nodes.toDF().select($"id")
+        .join(contribs, Seq("id"), "left")
+        .select($"id",
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce($"inSum", lit(0.0)) + lit(danglingMass / n))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Q10 relationships between a pair / touching an entity (graph.py:218-281). */
+  def relationshipsBetween(g: Graph, a: String, b: String): Dataset[Triple] =
+    g.edges.where(col("srcId") === a && col("dstId") === b)
+
+  def relationshipsOf(g: Graph, id: String): Dataset[Triple] =
+    g.edges.where(col("srcId") === id || col("dstId") === id)
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.query.GraphQueryOps
+import graft.query.GraphQueryOps.{EntityQuery, RelQuery}
+
+/** Assertions ported from /root/reference/src/graph_management/
+  * test_graph_query.py (FIXTURES.md §3.2).
+  */
+class GraphQuerySpec extends SparkSpec {
+  lazy val g = Fixtures.queryGraph(spark)
+
+  test("find_entities by type / name / attribute / complex / limit (:33-60)") {
+    val persons = GraphQueryOps.findEntities(g, EntityQuery(entityType = Some("person")))
+      .collect().map(_.name).toSet
+    assert(persons == Set("Alice", "Bob"))
+
+    val alice = GraphQueryOps.findEntities(g, EntityQuery(name = Some("Alice"))).collect()
+    assert(alice.length == 1 && alice.head.name == "Alice")
+
+    val byAttr = GraphQueryOps.findEntities(g, EntityQuery(attrEquals = Map("age" -> "30"))).collect()
+    assert(byAttr.length == 1 && byAttr.head.name == "Alice")
+
+    assert(GraphQueryOps.findEntities(g,
+      EntityQuery(entityType = Some("location")), limit = Some(1)).count() == 1)
+
+    val complex = GraphQueryOps.findEntities(g,
+      EntityQuery(entityType = Some("person"), attrEquals = Map("role" -> "engineer"))).collect()
+    assert(complex.length == 1 && complex.head.name == "Bob")
+  }
+
+  test("find_relationships by type / source / target / limit (:62-78)") {
+    assert(GraphQueryOps.findRelationships(g, RelQuery(relType = Some("works_at"))).count() == 2)
+    assert(GraphQueryOps.findRelationships(g, RelQuery(srcId = Some("alice"))).count() == 2)
+    assert(GraphQueryOps.findRelationships(g, RelQuery(dstId = Some("company_x"))).count() == 2)
+    assert(GraphQueryOps.findRelationships(g, RelQuery(relType = Some("works_at")), Some(1)).count() == 1)
+  }
+
+  test("traverse: depth-1 children, rel-type filter, entity-type filter, incoming (:80-100)") {
+    val t1 = GraphQueryOps.traverse(g, "alice", maxDepth = 1).collect()
+    assert(t1.length == 2)
+
+    val t2 = GraphQueryOps.traverse(g, "alice", maxDepth = 1,
+      relTypes = Some(Seq("works_at"))).collect()
+    assert(t2.length == 1 && t2.head.getAs[String]("relType") == "works_at")
+
+    val t3 = GraphQueryOps.traverse(g, "alice", maxDepth = 1,
+      entityTypes = Some(Seq("organization"))).collect()
+    assert(t3.length == 1 && t3.head.getAs[String]("childId") == "company_x")
+
+    val t4 = GraphQueryOps.traverse(g, "company_x", maxDepth = 3, direction = "incoming").collect()
+    assert(t4.nonEmpty && t4.forall(_.getAs[String]("direction") == "incoming"))
+  }
+
+  test("find_path: alice→company_x exists; alice→project_y needs >1 hops; depth-1 gives none (:102-119)") {
+    val p1 = GraphQueryOps.findPath(g, "alice", "company_x").collect()
+    assert(p1.nonEmpty)
+    val path1 = p1.head.getAs[scala.collection.Seq[String]]("path")
+    assert(path1.head == "alice" && path1.last == "company_x")
+
+    val p2 = GraphQueryOps.findPath(g, "alice", "project_y").collect()
+    assert(p2.nonEmpty)
+    assert(p2.head.getAs[scala.collection.Seq[String]]("path").length > 2)
+
+    assert(GraphQueryOps.findPath(g, "alice", "project_y", maxDepth = 1).count() == 0)
+  }
+
+  test("search_text: names, attributes, case sensitivity (:121-149)") {
+    val r1 = GraphQueryOps.searchText(g, "Alice").collect()
+    assert(r1.length == 1 && r1.head.name == "Alice")
+
+    val r2 = GraphQueryOps.searchText(g, "engineer").collect()
+    assert(r2.length == 1 && r2.head.name == "Bob")
+
+    assert(GraphQueryOps.searchText(g, "ALICE", caseSensitive = false).count() == 1)
+    assert(GraphQueryOps.searchText(g, "ALICE", caseSensitive = true).count() == 0)
+  }
+
+  test("get_subgraph: alone, with neighbors, multiple ids (:151-165)") {
+    val s1 = GraphQueryOps.getSubgraph(g, Seq("alice"))
+    assert(s1.nodes.count() == 1 && s1.edges.count() == 0)
+
+    val s2 = GraphQueryOps.getSubgraph(g, Seq("alice"), includeNeighbors = true)
+    assert(s2.nodes.count() > 1 && s2.edges.count() > 0)
+
+    val s3 = GraphQueryOps.getSubgraph(g, Seq("alice", "bob"))
+    assert(s3.nodes.count() == 2)
+  }
+
+  test("filter_by_confidence: entities / relationships / both (:167-191)") {
+    import spark.implicits._
+    // reproduce the reference's confidence rewrite
+    val nodes = g.nodes.map(e =>
+      e.copy(confidence = if (e.id == "alice") 0.8 else if (e.id == "bob") 0.3 else 0.4))
+    val edges = g.edges.map(t =>
+      t.copy(confidence = if (t.srcId == "alice" && t.dstId == "company_x") 0.9 else 0.4))
+    val g2 = graft.graphout.GraphBuilder.Graph(nodes, edges)
+
+    val fe = GraphQueryOps.filterByConfidence(g2, 0.5, "entities")
+    assert(fe.nodes.collect().map(_.name).toSeq == Seq("Alice"))
+
+    val fr = GraphQueryOps.filterByConfidence(g2, 0.5, "relationships")
+    assert(fr.edges.count() == 1)
+
+    val fb = GraphQueryOps.filterByConfidence(g2, 0.5, "both")
+    assert(fb.nodes.count() == 1 && fb.edges.count() == 0)
+  }
+
+  test("connected components: disconnected subgraph splits (:197-230)") {
+    import spark.implicits._
+    val extraNodes = Seq(
+      graft.model.Entity("charlie", "Charlie", "person", None, Map.empty, 0.9, "", "", "", ""),
+      graft.model.Entity("company_z", "Company Z", "organization", None, Map.empty, 0.9, "", "", "", ""))
+    val extraEdges = Seq(
+      graft.model.Triple("charlie_works_at_z", "charlie", "company_z", "", "", "works_at",
+        None, false, 1.0, 0.9, ""))
+    val g2 = graft.graphout.GraphBuilder.Graph(
+      g.nodes.union(extraNodes.toDS()), g.edges.union(extraEdges.toDS()))
+    val comps = GraphQueryOps.connectedComponents(g2)
+      .groupBy("comp").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(comps == Seq(2L, 5L))
+  }
+
+  test("sort by degree: descending, limit (:232-247)") {
+    val top = GraphQueryOps.topKByDegree(g, 10).collect()
+    assert(top.nonEmpty)
+    val degrees = top.map(_.getAs[Long]("degree")).toSeq
+    assert(degrees == degrees.sorted.reverse)
+    assert(GraphQueryOps.topKByDegree(g, 2).count() == 2)
+    // company_x and alice have the highest degrees (3 and 2...)
+    assert(top.head.getAs[String]("id") == "company_x")
+  }
+
+  test("pagerank: converges to a probability distribution") {
+    val pr = GraphQueryOps.pagerank(g, iterations = 8)
+    val total = pr.agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"sum=$total")
+  }
+
+  test("relationships between pair / of entity (graph.py:218-281)") {
+    assert(GraphQueryOps.relationshipsBetween(g, "alice", "company_x").count() == 1)
+    assert(GraphQueryOps.relationshipsOf(g, "company_x").count() == 4)
+  }
+}
