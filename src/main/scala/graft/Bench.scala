@@ -1,24 +1,120 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Round benchmark. Prints ONE JSON line:
+ *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "kg":{"files":N,"triples":T,"wallSecHigh":s,
+ *          "roundsHigh":[..],"roundsLow":[..],"calibration":{...},
+ *          "scaling":{"cpusLow":n,"cpusHigh":m,
+ *                     "triplesPerSecLow":x,"triplesPerSecHigh":y,
+ *                     "efficiency":e}}}
+ *
+ * The kg.scaling block evidences the north rule's two-cluster-size
+ * criterion (BASELINE.md protocol): the identical pipeline on the
+ * identical deterministic corpus at local[N] and local[4N], shuffle
+ * partitions scaled to match, triples/sec at both, efficiency =
+ * (tps_high / tps_low) / (cpus_high / cpus_low).
+ *
+ * Noise control (this sandbox shows episodic hypervisor CPU-steal):
+ * per-level JIT warmup run, interleaved level execution, best-of-K
+ * rounds, and a single-thread sha256 calibration sample recorded with
+ * each round so throughput numbers can be normalized for host state.
+ */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = graft.runtime.Sessions
+      .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Single-thread hash throughput (MB/s-ish unit) — host-state probe. */
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](4096)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 20000) { buf(0) = i.toByte; md.digest(buf); i += 1 }
+    20000 * 4096 / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
+  private def kgRun(spark: SparkSession, n: Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val res = pipeline.KgPipeline.runSynthetic(spark, n)
+    val triples = res.tripleSet.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    (dt, triples)
+  }
+
+  /** warmup + K timed rounds at one level; returns (roundSecs, triples). */
+  private def level(cpus: Int, files: Long, rounds: Int): (Seq[(Double, Double)], Long) = {
+    val spark = session(cpus)
+    kgRun(spark, math.max(500, files / 8)) // JIT/codegen warmup
+    var triples = 0L
+    val out = (1 to rounds).map { _ =>
+      val cal = calibrate()
+      val (dt, t) = kgRun(spark, files)
+      triples = t
+      (dt, cal)
+    }
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (out, triples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "120000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_KG_ROUNDS", "2").toInt
+    val low = math.max(2, cpus / 4)
+
+    // ---- query timings at local[cpus]
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // ---- interleaved scaling measurement: high, low, high, low, ...
+    val highRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val lowRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var triples = 0L
+    (1 to rounds).foreach { _ =>
+      val (h, t1) = level(cpus, kgFiles, 1)
+      highRounds ++= h; triples = t1
+      val (l, _) = level(low, kgFiles, 1)
+      lowRounds ++= l
+    }
+
+    val tHigh = highRounds.map(_._1).min
+    val tLow = lowRounds.map(_._1).min
+    val tpsHigh = triples / tHigh
+    val tpsLow = triples / tLow
+    val efficiency = (tpsHigh / tpsLow) / (cpus.toDouble / low)
+
+    def arr(xs: Seq[(Double, Double)]): String =
+      xs.map { case (s, c) => f"""{"sec":$s%.2f,"calMBs":$c%.0f}""" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum + tHigh
+    val kg =
+      s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},""" +
+      s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},""" +
+      s""""scaling":{"cpusLow":$low,"cpusHigh":$cpus,""" +
+      s""""triplesPerSecLow":${f"$tpsLow%.1f"},"triplesPerSecHigh":${f"$tpsHigh%.1f"},""" +
+      s""""efficiency":${f"$efficiency%.3f"}}}"""
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")
   }
 }

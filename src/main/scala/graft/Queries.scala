@@ -316,7 +316,10 @@ object Queries {
     */
   val q24_minhash_dedup: Q = (s, d) => {
     val docs = t(s, d, "documents")
+    // estimate-filter candidates before the exact verification join —
+    // the LSH bands over-generate on low-vocabulary corpora
     val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+      .where(col("jaccard_est") >= 0.5)
     graft.ops.Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
       .where(col("jaccard") >= 0.8)
   }

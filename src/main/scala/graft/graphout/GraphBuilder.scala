@@ -31,20 +31,27 @@ object GraphBuilder {
       .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
       .join(nodeIds.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
 
-    // keep-max dedup per (srcId, relType, dstId): window ranking
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("srcId", "relType", "dstId")
-      .orderBy(desc("confidence"), asc("id"))
+    // keep-max dedup per (srcId, relType, dstId): max_by(struct) aggregate
+    // — a single hash aggregate with map-side partial combine; a window
+    // row_number would sort every partition instead. Column ops only (a
+    // typed filter/map here deserializes every Triple object — measured
+    // as the pipeline's biggest stage cost).
+    val cols = valid.columns
     val deduped = valid
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1).drop("rn")
-      .as[Triple]
+      .groupBy("srcId", "relType", "dstId")
+      .agg(min_by(struct(cols.map(col): _*),
+        struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("row"))
+      .select(col("row.*"))
 
     // bidirectional expansion (graph.py:116-129)
-    val reversed = deduped.filter(_.bidirectional).map(t =>
-      t.copy(id = t.id + "_reverse", srcId = t.dstId, dstId = t.srcId,
-        srcName = t.dstName, dstName = t.srcName))
-    Graph(entities, deduped.union(reversed))
+    val reversed = deduped.where(col("bidirectional"))
+      .withColumn("id", concat(col("id"), lit("_reverse")))
+      .withColumn("tmpS", col("srcId")).withColumn("tmpSN", col("srcName"))
+      .withColumn("srcId", col("dstId")).withColumn("srcName", col("dstName"))
+      .withColumn("dstId", col("tmpS")).withColumn("dstName", col("tmpSN"))
+      .drop("tmpS", "tmpSN")
+    Graph(entities,
+      deduped.select(cols.map(col): _*).union(reversed.select(cols.map(col): _*)).as[Triple])
   }
 
   /** Count of dropped dangling edges (for the metrics table). */

@@ -1,0 +1,180 @@
+package graft.graphout
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graphout.GraphBuilder.Graph
+import graft.model.{Entity, Triple}
+
+/**
+ * Graph persistence S6-S11 (SURVEY.md §2.1; reference
+ * src/graph_management/graph_storage.py).
+ *
+ * The production design is Iceberg tables with snapshot/tag versioning
+ * (graph_storage.py's hand-rolled versions/ directory maps 1:1 onto
+ * Iceberg snapshots); this sandbox has no Iceberg jars, so the same
+ * contract is parquet + an explicit versions directory:
+ *
+ *   <root>/<name>/current/{nodes,edges}/         latest
+ *   <root>/<name>/versions/v<epochMs>/{nodes,edges}/
+ *   <root>/<name>/versions.json                  version metadata list
+ */
+final class GraphStorage(spark: SparkSession, root: String) {
+
+  private def dir(name: String) = s"$root/$name"
+
+  /** S6 save + optional version snapshot (graph_storage.py:56-101). */
+  def save(name: String, g: Graph, createVersion: Boolean = true): Long = {
+    val version = System.currentTimeMillis()
+    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/current/nodes")
+    g.edges.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/current/edges")
+    if (createVersion) {
+      spark.read.parquet(s"${dir(name)}/current/nodes")
+        .write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/versions/v$version/nodes")
+      spark.read.parquet(s"${dir(name)}/current/edges")
+        .write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/versions/v$version/edges")
+      val metaPath = Paths.get(s"${dir(name)}/versions.json")
+      val prev = if (Files.exists(metaPath)) Files.readString(metaPath).stripSuffix("]") + ","
+                 else "["
+      Files.createDirectories(metaPath.getParent)
+      Files.writeString(metaPath,
+        prev + s"""{"version":$version,"createdMs":$version}]""")
+    }
+    version
+  }
+
+  /** S7 load by name, optionally a specific version (graph_storage.py:103-139). */
+  def load(name: String, version: Option[Long] = None): Graph = {
+    import spark.implicits._
+    val base = version.map(v => s"${dir(name)}/versions/v$v").getOrElse(s"${dir(name)}/current")
+    Graph(
+      spark.read.parquet(s"$base/nodes").as[Entity],
+      spark.read.parquet(s"$base/edges").as[Triple])
+  }
+
+  /** S8 list versions (graph_storage.py:236-275) — newest first. */
+  def listVersions(name: String): Seq[Long] = {
+    val vdir = Paths.get(s"${dir(name)}/versions")
+    if (!Files.exists(vdir)) Nil
+    else {
+      val s = Files.list(vdir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq.sorted.reverse
+      } finally s.close()
+    }
+  }
+
+  /** S8 delete (graph_storage.py:141-186). */
+  def delete(name: String): Boolean = {
+    val p = Paths.get(dir(name))
+    if (!Files.exists(p)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
+  /** S8 list graphs with counts (graph_storage.py:188-234). */
+  def listGraphs(): Seq[(String, Long, Long)] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(r)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted.map { name =>
+        val g = load(name)
+        (name, g.nodes.count(), g.edges.count())
+      } finally s.close()
+    }
+  }
+}
+
+object GraphStorage {
+
+  /** S10 export Cypher CREATE statements with escaping
+    * (graph_storage.py:473-533) — a distributed map producing statement
+    * strings; write with .write.text.
+    */
+  def toCypher(g: Graph): DataFrame = {
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'")
+    val nodes = g.nodes.toDF().select(
+      concat(lit("CREATE (n"), lit(":"), regexp_replace(col("entityType"), "[^A-Za-z0-9]", "_"),
+        lit(" {id: '"), esc(col("id")),
+        lit("', name: '"), esc(col("name")),
+        lit("', confidence: "), col("confidence"), lit("});")).as("stmt"))
+    val edges = g.edges.toDF().select(
+      concat(lit("MATCH (a {id: '"), esc(col("srcId")),
+        lit("'}), (b {id: '"), esc(col("dstId")),
+        lit("'}) CREATE (a)-[:"), regexp_replace(col("relType"), "[^A-Za-z0-9]", "_"),
+        lit(" {confidence: "), col("confidence"), lit("}]->(b);")).as("stmt"))
+    nodes.union(edges)
+  }
+
+  /** S9 export GraphML (graph_storage.py:310-313) — driver-side writer for
+    * small graphs only (the reference caps exports similarly); at scale
+    * use the parquet tables directly.
+    */
+  def toGraphML(g: Graph, maxElements: Int = 100000): String = {
+    val nodes = g.nodes.limit(maxElements).collect()
+    val edges = g.edges.limit(maxElements).collect()
+    def x(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n")
+    sb.append("  <graph id=\"G\" edgedefault=\"directed\">\n")
+    nodes.foreach(n => sb.append(
+      s"""    <node id="${x(n.id)}"><data key="name">${x(n.name)}</data><data key="type">${x(n.entityType)}</data></node>\n"""))
+    edges.foreach(e => sb.append(
+      s"""    <edge source="${x(e.srcId)}" target="${x(e.dstId)}"><data key="type">${x(e.relType)}</data></edge>\n"""))
+    sb.append("  </graph>\n</graphml>\n")
+    sb.toString
+  }
+
+  /** S11/G3 import from JSON with alias-field normalization
+    * (graph_creator.py:90-202: `type`→entity_type, `source`→source_entity,
+    * `target`→target_entity, defaults for missing fields).
+    */
+  def importJson(spark: SparkSession, nodesJson: DataFrame, edgesJson: DataFrame): Graph = {
+    import spark.implicits._
+    def has(df: DataFrame, c: String) = df.columns.contains(c)
+    def opt(df: DataFrame, c: String, default: org.apache.spark.sql.Column) =
+      if (has(df, c)) coalesce(col(c), default) else default
+
+    val nodes = nodesJson.select(
+      opt(nodesJson, "id", col("name")).as("id"),
+      col("name"),
+      (if (has(nodesJson, "entity_type")) coalesce(col("entity_type"), lit("unknown"))
+       else if (has(nodesJson, "type")) coalesce(col("type"), lit("unknown"))
+       else lit("unknown")).as("entityType"),
+      opt(nodesJson, "context", lit(null).cast("string")).as("context"),
+      map().cast("map<string,string>").as("attributes"),
+      opt(nodesJson, "confidence", lit(1.0)).cast("double").as("confidence"),
+      lit("").as("segId"), lit("").as("repo"), lit("").as("path"),
+      lit("").as("contentSha")).as[Entity]
+
+    val srcCol = if (has(edgesJson, "source_entity")) col("source_entity")
+                 else col("source")
+    val dstCol = if (has(edgesJson, "target_entity")) col("target_entity")
+                 else col("target")
+    val rtCol = if (has(edgesJson, "relation_type")) col("relation_type")
+                else col("type")
+    val edges = edgesJson.select(
+      opt(edgesJson, "id", concat(srcCol, lit("_"), rtCol, lit("_"), dstCol)).as("id"),
+      srcCol.as("srcId"), dstCol.as("dstId"),
+      lit("").as("srcName"), lit("").as("dstName"),
+      coalesce(rtCol, lit("related_to")).as("relType"),
+      opt(edgesJson, "context", lit(null).cast("string")).as("context"),
+      opt(edgesJson, "bidirectional", lit(false)).cast("boolean").as("bidirectional"),
+      opt(edgesJson, "strength", lit(1.0)).cast("double").as("strength"),
+      opt(edgesJson, "confidence", lit(1.0)).cast("double").as("confidence"),
+      lit("").as("segId"),
+      map().cast("map<string,string>").as("attributes")).as[Triple]
+
+    GraphBuilder.build(nodes, edges)
+  }
+}

@@ -56,12 +56,22 @@ object ConnectedComponents {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Pair graphs below this size are solved with a driver-side union-find
+    * (one collect job) instead of iterated star rounds: the alias pair
+    * graph is typically minuscule relative to the corpus, and ~10 shuffle
+    * rounds of near-empty data are pure fixed cost that destroys scaling
+    * efficiency. Above the threshold the distributed algorithm runs.
+    */
+  val DriverThreshold = 2000000L
+
   /** @return DataFrame(id, comp) */
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    val nEdges = e.count()
+    if (nEdges <= DriverThreshold) return unionFindLocal(e)
     var sig = signature(e)
     var iter = 0
     var converged = e.isEmpty
@@ -78,6 +88,32 @@ object ConnectedComponents {
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
     members.union(roots).distinct()
+  }
+
+  /** Driver-side union-find for small pair graphs (path-compressed,
+    * union-by-rank; component label = min member id to match the
+    * distributed algorithm exactly).
+    */
+  private def unionFindLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = parent.keys.toSeq.map(k => (k, find(k)))
+    // min-id labeling: find-root with a<b union keeps the min as root
+    rows.toDF("id", "comp")
   }
 
   /** run() plus passthrough for isolated ids not present in any edge. */

@@ -43,21 +43,27 @@ object EntityMerge {
     val (a, b) = if (leftWins(x, y)) (x, y) else (y, x)
     val name = if (a.confidence >= b.confidence) a.name else b.name
     val conf = math.max(a.confidence, b.confidence)
+    // context union (reference concatenates with '\n' when different,
+    // entity.py:55-59); sorted-distinct lines keep the fold associative
     val context = (a.context, b.context) match {
-      case (Some(ca), Some(cb)) if ca != cb => Some(ca + "\n" + cb)
+      case (Some(ca), Some(cb)) if ca != cb =>
+        Some((ca.split("\n") ++ cb.split("\n")).toSeq.distinct.sorted.mkString("\n"))
       case (ca, cb) => ca.orElse(cb)
     }
+    // Conflict lists are SORTED, DEDUPED sets — a deliberate divergence
+    // from the reference (entity.py:66-72 keeps insertion order and can
+    // nest), because order-dependent lists make the fold non-associative
+    // and the merged output partitioning-dependent. The reference never
+    // notices (single-threaded); a distributed partial aggregation must.
     val attrs = b.attributes.foldLeft(a.attributes) { case (acc, (k, v)) =>
       acc.get(k) match {
         case None => acc + (k -> v)
         case Some(existing) if existing == v => acc
-        case Some(existing) if existing.startsWith("[") && v.startsWith("[") =>
-          // combine lists without duplicates (entity.py:66-69)
-          val ev = existing.substring(1, existing.length - 1).split(",").filter(_.nonEmpty)
-          val nv = v.substring(1, v.length - 1).split(",").filter(_.nonEmpty)
-          acc + (k -> (ev ++ nv.filterNot(ev.contains)).mkString("[", ",", "]"))
         case Some(existing) =>
-          acc + (k -> jsonList(Seq(existing, v)))
+          def elems(s: String): Seq[String] =
+            if (s.startsWith("[")) s.substring(1, s.length - 1).split(",").filter(_.nonEmpty).toSeq
+            else Seq(quote(s))
+          acc + (k -> (elems(existing) ++ elems(v)).distinct.sorted.mkString("[", ",", "]"))
       }
     }
     a.copy(name = name, confidence = conf, context = context, attributes = attrs)
@@ -82,9 +88,51 @@ object EntityMerge {
 
   /** Dedup mentions into canonical entities: one hash-aggregate shuffle on
     * the deterministic entity id (= sha(normName|type), SURVEY.md §1.3).
+    *
+    * General path — full E4 semantics including attribute-conflict lists,
+    * via the typed Aggregator. NOTE: typed aggregators execute as
+    * ObjectHashAggregate, which falls back to sort-based aggregation with
+    * per-row object (de)serialization past 128 distinct keys — fine for
+    * small/attribute-bearing inputs, ruinous for the per-mention hot path.
+    * The pipeline uses [[dedupeMentionsFast]] instead.
     */
   def dedupeMentions(mentions: Dataset[Entity]): Dataset[Entity] = {
     import mentions.sparkSession.implicits._
     mentions.groupByKey(_.id).agg(aggregator.toColumn).map(_._2)
+  }
+
+  /** Codegen-native dedup with semantics equal to the Aggregator WHEN
+    * mentions carry no attributes (true for every extractor output —
+    * asserted equivalent in EntityMergeSpec):
+    *  - winner fields from the canonical-min element (confidence DESC,
+    *    segId ASC tiebreak; id constant within a group),
+    *  - confidence = max,
+    *  - context = sorted-distinct union joined with '\n'.
+    * Pure hash aggregate (partial+final, whole-stage codegen), no object
+    * serialization — the difference is >10x on 10^6+ mention groups.
+    */
+  def dedupeMentionsFast(mentions: Dataset[Entity]): Dataset[Entity] = {
+    import mentions.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    mentions.toDF()
+      .groupBy($"id")
+      .agg(
+        min(struct((-$"confidence").as("nc"), $"segId", $"name", $"entityType",
+          $"repo", $"path", $"contentSha")).as("w"),
+        max($"confidence").as("confidence"),
+        sort_array(collect_set($"context")).as("ctxs"))
+      .select(
+        $"id",
+        $"w.name".as("name"),
+        $"w.entityType".as("entityType"),
+        when(size($"ctxs") > 0, array_join($"ctxs", "\n"))
+          .otherwise(lit(null).cast("string")).as("context"),
+        map().cast("map<string,string>").as("attributes"),
+        $"confidence",
+        $"w.segId".as("segId"),
+        $"w.repo".as("repo"),
+        $"w.path".as("path"),
+        $"w.contentSha".as("contentSha"))
+      .as[Entity]
   }
 }

@@ -70,12 +70,15 @@ object Linker {
     val a = capped.select($"bkey", $"etype", $"id".as("id1"), $"name".as("name1"))
     val b = capped.select($"bkey", $"etype", $"id".as("id2"), $"name".as("name2"))
     val scoreUdf = udf((n1: String, n2: String) => Similarity.score(n1, n2))
+    // two-phase like the reference: candidate threshold (blocking, τ=0.7)
+    // then deterministic adjudication (the LLM stand-in)
+    val acceptUdf = udf((n1: String, n2: String) => Similarity.accept(n1, n2))
     a.join(b, Seq("bkey", "etype"))
       .where($"id1" < $"id2")
       .select($"id1", $"id2", $"name1", $"name2")
       .distinct()
       .withColumn("score", scoreUdf($"name1", $"name2"))
-      .where($"score" >= threshold)
+      .where($"score" >= threshold && acceptUdf($"name1", $"name2"))
   }
 
   final case class LinkResult(
@@ -113,7 +116,11 @@ object Linker {
         folded.copy(id = comp)
       }
 
+    // non-identity rewrites only (tiny); checkpointed because the redirect
+    // stage broadcasts it twice (src and dst sides)
     val rewrite = withComp.select($"id", $"comp".as("canonicalId"))
+      .where($"id" =!= $"canonicalId")
+      .localCheckpoint(true)
     LinkResult(merged, rewrite)
   }
 

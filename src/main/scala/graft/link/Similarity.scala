@@ -85,4 +85,24 @@ object Similarity {
     else if (isAcronymOf(a, b) || isAcronymOf(b, a)) 1.0
     else ratio(la, lb)
   }
+
+  private def digits(s: String): String = s.filter(_.isDigit)
+
+  /** Deterministic merge adjudication — the stand-in for the reference's
+    * LLM merge decision (coreference_resolver.py:288-370). The 0.7 ratio
+    * is only the reference's CANDIDATE threshold; accepting every 0.7 pair
+    * deterministically over-merges catastrophically (lib7.Module7 vs
+    * lib12.Module12 scores ≈0.85). Accept iff:
+    *  - names are equal modulo case/separators (squash equality), or
+    *  - one is the acronym/initials of the other, or
+    *  - RO ratio ≥ strictRatio AND the digit subsequences agree (numeric
+    *    suffixes are identity-bearing in code corpora: fn12 ≠ fn13).
+    */
+  def accept(a: String, b: String, strictRatio: Double = 0.9): Boolean = {
+    val sa = a.toLowerCase.replaceAll("[_\\-./\\s]+", "")
+    val sb = b.toLowerCase.replaceAll("[_\\-./\\s]+", "")
+    if (sa == sb) true
+    else if (isAcronymOf(a, b) || isAcronymOf(b, a)) true
+    else digits(a) == digits(b) && ratio(a.toLowerCase.trim, b.toLowerCase.trim) >= strictRatio
+  }
 }

@@ -95,11 +95,36 @@ object Severity {
   val Low = "low"
 }
 
-/** Deterministic ids (SURVEY.md §1.3). */
+/** Deterministic ids (SURVEY.md §1.3).
+  *
+  * Hot path: every mention and triple gets an id, so this runs millions of
+  * times per partition — thread-local digest instances (getInstance
+  * allocates) and table-driven hex (String.format per byte compiles a
+  * Formatter regex each call — measured 10x+ pipeline slowdown).
+  */
 object Ids {
-  private def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    hex(md.digest(s.getBytes("UTF-8")))
   }
   def contentSha(content: String): String = sha256Hex(content)
   def segId(repo: String, path: String, commit: String, start: Long, end: Long): String =

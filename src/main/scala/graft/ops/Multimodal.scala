@@ -70,7 +70,7 @@ object Multimodal {
 
     def resize(w: Int, h: Int, target: Int): (Int, Int) = {
       val scale = target.toDouble / math.max(w, h)
-      (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
     }
 
     def sampleFrames(durationMs: Long, fps: Double = 1.0): Int =
@@ -87,7 +87,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
         md.reset()
-        val sha = md.digest(m.payload).map("%02x".format(_)).mkString
+        val sha = graft.model.Ids.hex(md.digest(m.payload))
         val (rw, rh) = DecoderStub.resize(m.width, m.height, resizeTarget)
         MediaFeatures(
           mediaId = m.mediaId, mediaType = m.mediaType,

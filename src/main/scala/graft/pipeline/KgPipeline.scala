@@ -42,17 +42,33 @@ object KgPipeline {
     import spark.implicits._
 
     val segments = CodeSegmenter.windows(files)
+    // Two independent narrow extraction passes (mentions, triples). Regex
+    // work runs twice, but narrow chains recompute for free in parallel
+    // and nothing large is pinned in executor memory — caching the raw
+    // per-segment extraction (nested Seq rows) thrashes memory at high
+    // task concurrency. At production scale the extraction output is a
+    // checkpoint table (see CheckpointedPipeline) and this choice vanishes.
     val (mentions, rawTriples) = Extractor.extract(segments)
 
     // exact-identity dedup first (deterministic id = sha(normName|type)):
-    // one shuffle, map-side combined
-    val deduped = EntityMerge.dedupeMentions(mentions)
+    // one shuffle, map-side combined. The canonical mention table is small
+    // (distinct (name,type) pairs) and read 3+ times downstream → persist.
+    val deduped = EntityMerge.dedupeMentionsFast(mentions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // fuzzy linking over the already-deduped canonical mentions
     val linked = Linker.link(deduped, linkThreshold)
     val redirected = Linker.redirectEdges(rawTriples, linked.rewrite)
 
-    val graph = GraphBuilder.build(linked.canonical, redirected)
+    val graph = {
+      val g = GraphBuilder.build(linked.canonical, redirected)
+      // nodes are joined twice by tripleSet and re-read by stats/queries;
+      // persist both sides (at production scale these are the materialized
+      // node/edge tables, so the cache stands in for the table write)
+      GraphBuilder.Graph(
+        g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
     val tripleSet = graph.edges.toDF()
       .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName")), Seq("srcId"))

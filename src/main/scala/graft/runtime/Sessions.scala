@@ -22,6 +22,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // keep reduce-side parallelism pinned to the core count: without
+      // this AQE coalesces small-data shuffles to a handful of 64MB-target
+      // partitions, serializing every aggregate/join on a 32-core box
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+      .config("spark.default.parallelism", shufflePartitions.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

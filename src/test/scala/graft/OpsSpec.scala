@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "the quick brown fox leaps over the lazy dog"), // near dup
+      (3L, "completely different content about spark sql engines"),
+      (4L, "spark sql engines are completely different content about")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 4)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and jaccard verifies it") {
+    val pairs = Dedup.minhashLshPairs(docs, k = 32, bands = 16)
+    // docs 0/2 share 4 of 10 distinct 3-gram shingles → exact jaccard 0.4
+    val verified = Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
+      .where(col("jaccard") >= 0.35)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(verified.contains((0L, 1L)))
+    assert(verified.contains((0L, 2L)) || verified.contains((1L, 2L)))
+    // fox docs never pair with the spark docs (3/4 pairing with each
+    // other is correct: they share 3 of 8 shingles)
+    assert(!verified.exists(p => p._1 <= 2L && p._2 >= 3L))
+  }
+
+  test("simhash: identical docs collide, unrelated docs do not") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val dup = base.clone()
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, base), (1L, dup), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.size == 1)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  test("brute-force top-k ranks the planted nearest vector first") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.map(v => (v * 1.01f))
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L until 50L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 17.3 + d * 2.1).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") === 0).select(col("vec_id").as("q_id"), col("embedding"))
+    val top = Ann.bruteForceTopK(emb, queries, k = 5).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-3)
+  }
+
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    import spark.implicits._
+    // 4 well-separated clusters of 25 vectors each
+    val rows = for (c <- 0 until 4; j <- 0 until 25) yield {
+      val id = (c * 25 + j).toLong
+      val v = Array.tabulate(16)(d => (if (d % 4 == c) 10.0 + j * 0.01 else math.sin(id + d) * 0.1).toFloat)
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id").isin(0L, 25L, 50L))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val bf = Ann.bruteForceTopK(emb, queries, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, c = 8, nProbe = 4, k = 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  test("language ID picks the right lexicon") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog sat in the garden of the house"),
+      (1L, "el gato y la casa de los perros en un jardin del pueblo"),
+      (2L, "der Hund und die Katze von dem Haus mit den Kindern ist nicht")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("lang_guess") == "en")
+    assert(out(1).getAs[String]("lang_guess") == "es")
+    assert(out(2).getAs[String]("lang_guess") == "de")
+  }
+
+  test("quality score counts are exact") {
+    import spark.implicits._
+    val docs = Seq((0L, "the quick fox, the lazy dog!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_stopwords") == 2)
+    assert(r.getAs[Int]("n_punct") == 2)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L) != fp(1L))
+  }
+
+  test("NL-vs-code heuristic") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "This is a plain English paragraph about knowledge graphs."),
+      (1L, "def foo(x): return {x: [1,2]} if x else None")
+    ).toDF("id", "text").withColumn("nl", TextAnalysis.isNaturalLanguage(col("text")))
+      .select("id", "nl")
+    val m = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m(0L) && !m(1L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("feature extraction preserves payload sha and is deterministic") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.mediaId)
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
+      .collect().sortBy(_.mediaId)
+    assert(f1.map(_.payloadSha).toSeq == f2.map(_.payloadSha).toSeq)
+    assert(f1.forall(f => f.meanLuma >= 0.0 && f.meanLuma <= 1.0))
+    assert(f1.forall(f => math.max(f.resizedW, f.resizedH) == 224))
+    assert(f1.filter(_.mediaType == "video").forall(_.nFramesSampled >= 1))
+  }
+
+  test("size-balanced repartition keeps all rows") {
+    val media = Multimodal.syntheticMedia(spark, 500)
+    assert(Multimodal.balanceBySize(media, 8).count() == 500)
+  }
+}
+
+class StorageSpec extends SparkSpec {
+  test("save/load roundtrip preserves counts (test_graph.py:314-315)") {
+    val g = Fixtures.queryGraph(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graphs").toString
+    val storage = new graft.graphout.GraphStorage(spark, tmp)
+    val v1 = storage.save("g1", g)
+    val loaded = storage.load("g1")
+    assert(loaded.nodes.count() == g.nodes.count())
+    assert(loaded.edges.count() == g.edges.count())
+    // versioned load
+    val byVersion = storage.load("g1", Some(v1))
+    assert(byVersion.nodes.count() == g.nodes.count())
+    assert(storage.listVersions("g1") == Seq(v1))
+    assert(storage.listGraphs().map(_._1) == Seq("g1"))
+    assert(storage.delete("g1"))
+  }
+
+  test("cypher export escapes and covers all elements") {
+    val g = Fixtures.queryGraph(spark)
+    val stmts = graft.graphout.GraphStorage.toCypher(g).collect().map(_.getString(0))
+    assert(stmts.length == 11) // 5 nodes + 6 edges
+    assert(stmts.exists(_.contains("CREATE (n:person {id: 'alice'")))
+    assert(stmts.exists(_.contains("[:works_at")))
+  }
+
+  test("graphml export is well-formed-ish") {
+    val xml = graft.graphout.GraphStorage.toGraphML(Fixtures.queryGraph(spark))
+    assert(xml.contains("<graphml") && xml.contains("</graphml>"))
+    assert(xml.split("<node ").length == 6 && xml.split("<edge ").length == 7)
+  }
+
+  test("json import normalizes alias fields (graph_creator.py:136-161)") {
+    import spark.implicits._
+    val nodes = Seq(
+      """{"id":"a","name":"A","type":"person","confidence":0.9}""",
+      """{"id":"b","name":"B","entity_type":"org"}""").toDF("value")
+    val edges = Seq(
+      """{"source":"a","target":"b","type":"works_at"}""").toDF("value")
+    val nj = spark.read.json(nodes.as[String])
+    val ej = spark.read.json(edges.as[String])
+    val g = graft.graphout.GraphStorage.importJson(spark, nj, ej)
+    assert(g.nodes.count() == 2)
+    val e = g.edges.collect()
+    assert(e.length == 1 && e.head.relType == "works_at" && e.head.confidence == 1.0)
+  }
+}
+
+class SummarizerSpec extends SparkSpec {
+  test("keywords, first-sentence summary, skip-short, cache-key dedup") {
+    import spark.implicits._
+    val seg = (id: String, text: String) => graft.model.Segment(
+      id, None, "r", "p", "en", 1, "paragraph", None, text, 0, text.length.toLong, "sha")
+    val segs = Seq(
+      seg("s1", "Spark engines scale. Spark engines shuffle data across executors."),
+      seg("s2", "Spark engines scale. Spark engines shuffle data across executors."), // same key
+      seg("s3", "tiny")).toDS() // < 10 chars → skipped
+    val out = graft.segment.Summarizer.summarize(segs).collect()
+    assert(out.length == 2) // s3 skipped, s1+s2 both mapped
+    val r = out.find(_.getAs[String]("segId") == "s1").get
+    assert(r.getAs[String]("summary") == "Spark engines scale.")
+    val kws = r.getAs[scala.collection.Seq[String]]("keywords")
+    assert(kws.contains("spark") && kws.contains("engines"))
+  }
+}
