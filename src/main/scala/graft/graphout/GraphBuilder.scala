@@ -66,6 +66,21 @@ object GraphBuilder {
       .count()
   }
 
+  /** G5 remove entity with cascade delete of touching edges
+    * (graph.py:136-164) — anti-join form for batch removal.
+    */
+  def removeEntities(g: Graph, ids: Seq[String]): Graph = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val idDf = broadcast(ids.toDF("rmId"))
+    val nodes = g.nodes.join(idDf, g.nodes("id") === col("rmId"), "left_anti").as[Entity]
+    val edges = g.edges
+      .join(idDf, g.edges("srcId") === col("rmId"), "left_anti")
+      .join(idDf, col("dstId") === col("rmId"), "left_anti")
+      .as[Triple]
+    Graph(nodes, edges)
+  }
+
   /** G4 graph stats: counts by type + density (reference graph.py:483-524;
     * clustering/avg-path deferred exactly as the reference try/excepts them).
     */

@@ -120,7 +120,10 @@ object EntityMerge {
         min(struct((-$"confidence").as("nc"), $"segId", $"name", $"entityType",
           $"repo", $"path", $"contentSha")).as("w"),
         max($"confidence").as("confidence"),
-        sort_array(collect_set($"context")).as("ctxs"))
+        // contexts may already be '\n'-joined unions (map-side combine) —
+        // flatten to lines, dedup, sort: exactly merge2's context algebra
+        array_sort(array_distinct(flatten(
+          transform(collect_set($"context"), c => split(c, "\n"))))).as("ctxs"))
       .select(
         $"id",
         $"w.name".as("name"),

@@ -143,6 +143,51 @@ object Reasoning {
     t.unionByName(q).unionByName(s).unionByName(i)
   }
 
+  /** X1/X2 reason_over_path (graph_reasoning.py:44-167): BFS paths plus
+    * per-path inferences — the 2-hop transitive rules (same-type chains ⇒
+    * same type at min(conf)×0.9; has-skill∘required-for ⇒ qualified-for)
+    * and the circular-reasoning flag when a path revisits its start
+    * (conf 0.7, graph_reasoning.py:154-165).
+    */
+  def reasonOverPath(g: Graph, srcId: String, dstId: String,
+                     maxDepth: Int = 5): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val paths = graft.query.GraphQueryOps.findPath(g, srcId, dstId, maxDepth)
+    val e = lowered(g).select($"srcId".as("a"), $"dstId".as("b"), $"rt", $"confidence")
+    // decompose each path into consecutive hop pairs and join edge types
+    val hops = paths
+      .select($"path", posexplode(slice($"path", 1, 10000)).as(Seq("i", "a")))
+      .withColumn("b", expr("try_element_at(path, i + 2)"))
+      .where($"b".isNotNull)
+    val twoHop = hops.alias("h1")
+      .join(hops.alias("h2"),
+        col("h1.path") === col("h2.path") && col("h2.i") === col("h1.i") + 1)
+      .join(e.alias("e1"), col("h1.a") === col("e1.a") && col("h1.b") === col("e1.b"))
+      .join(e.alias("e2"), col("h2.a") === col("e2.a") && col("h2.b") === col("e2.b"))
+    val transitive = twoHop
+      .where(col("e1.rt") === col("e2.rt") &&
+        col("e1.rt").isin(TransitiveTypes: _*))
+      .select(col("h1.a").as("srcId"), col("h2.b").as("dstId"),
+        col("e1.rt").as("relType"),
+        (least(col("e1.confidence"), col("e2.confidence")) * 0.9).as("confidence"),
+        lit("transitive_relation").as("inference"))
+    val qualified = twoHop
+      .where(col("e1.rt") === "has-skill" && col("e2.rt") === "required-for")
+      .select(col("h1.a").as("srcId"), col("h2.b").as("dstId"),
+        lit("qualified-for").as("relType"),
+        (least(col("e1.confidence"), col("e2.confidence")) * 0.9).as("confidence"),
+        lit("transitive_relation").as("inference"))
+    val circular = paths
+      .where(element_at($"path", 1) === element_at($"path", size($"path")) &&
+        size($"path") > 3)
+      .select(element_at($"path", 1).as("srcId"),
+        element_at($"path", 1).as("dstId"),
+        lit("circular").as("relType"), lit(0.7).as("confidence"),
+        lit("circular_reasoning").as("inference"))
+    transitive.union(qualified).union(circular).distinct()
+  }
+
   // ------------------------------------------------------------- conflicts
 
   /** X4 contradictory relationships: same (src,dst) pair with opposite
@@ -225,6 +270,24 @@ object Reasoning {
   }
 
   // ------------------------------------------------------------ resolution
+
+  /** X7 resolve_conflicts (graph_reasoning.py:395-438): apply all three
+    * resolution strategies, producing a corrected graph — contradictory
+    * edges keep the max-confidence side, circular-hierarchy cycles drop
+    * their weakest edge, property conflicts adopt the highest-confidence
+    * entity's attribute values.
+    */
+  def resolveConflicts(g: Graph, confidenceThreshold: Double = 0.5): Graph = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val edges1 = resolveContradictory(g, confidenceThreshold)
+    val edges2 = resolveCircular(Graph(g.nodes, edges1))
+    val nodes2 = resolvePropertyConflicts(g)
+      .select(g.nodes.columns.map(col): _*).as[graft.model.Entity]
+    Graph(nodes2, edges2)
+  }
+
+  // ------------------------------------------------------------ resolution2
 
   /** X8 resolve contradictory: within each contradiction group keep the
     * max-confidence edge (graph_reasoning.py:465-506) — window ranking

@@ -20,6 +20,12 @@ object Sessions {
   ): SparkSession.Builder =
     b.appName("graft-kg")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // shuffle/block scratch on tmpfs: the sandbox's /tmp is virtio-disk
+      // backed, which serializes shuffle I/O and caps core scaling (on a
+      // real cluster this is local NVMe / remote shuffle service)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // keep reduce-side parallelism pinned to the core count: without

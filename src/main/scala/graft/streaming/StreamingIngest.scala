@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.extract.Extractor
+import graft.model.{CodeFile, Segment}
+import graft.segment.CodeSegmenter
+
+/**
+ * Incremental ingest (SURVEY.md §2.10: the reference is batch-only; this
+ * is the documented extension point, not a port requirement). New corpus
+ * rows arrive as a stream; each micro-batch runs the SAME batch stage
+ * functions (segment → extract) via foreachBatch and appends to the
+ * per-stage checkpoint tables, so incremental and backfill runs share one
+ * code path. Canonicalization/linking remain periodic batch jobs over the
+ * accumulated mention table (the standard lambda-ish split for KG
+ * construction: append-heavy extraction streams, compaction-style
+ * linking).
+ */
+object StreamingIngest {
+
+  /** Wire a streaming Dataset[CodeFile] through segment+extract into
+    * append-mode parquet stage tables. Returns the running query.
+    */
+  def run(files: Dataset[CodeFile], outRoot: String,
+          checkpointDir: String): StreamingQuery = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[CodeFile], batchId: Long) =>
+        val segments: Dataset[Segment] = CodeSegmenter.windows(batch)
+        val (mentions, triples) = Extractor.extract(segments)
+        mentions.toDF().write.mode("append").parquet(s"$outRoot/mentions")
+        triples.toDF().write.mode("append").parquet(s"$outRoot/triples")
+        ()
+      }
+      .start()
+  }
+
+  /** Periodic compaction: read accumulated mention/triple tables and run
+    * the batch linking + graph build (the same functions the batch
+    * pipeline uses).
+    */
+  def compact(spark: SparkSession, outRoot: String): DataFrame = {
+    import spark.implicits._
+    val mentions = spark.read.parquet(s"$outRoot/mentions").as[graft.model.Entity]
+    val triples = spark.read.parquet(s"$outRoot/triples").as[graft.model.Triple]
+    val deduped = graft.link.EntityMerge.dedupeMentionsFast(mentions)
+    val linked = graft.link.Linker.link(deduped)
+    val redirected = graft.link.Linker.redirectEdges(triples, linked.rewrite)
+    val g = graft.graphout.GraphBuilder.build(linked.canonical, redirected)
+    g.edges.toDF()
+      .join(g.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName")), Seq("srcId"))
+      .join(g.nodes.toDF().select($"id".as("dstId"), $"name".as("objName")), Seq("dstId"))
+      .select($"subjName", $"relType", $"objName").distinct()
+  }
+}

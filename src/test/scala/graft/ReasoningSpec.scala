@@ -76,6 +76,26 @@ class ReasoningSpec extends SparkSpec {
     assert(conflicts.head.getAs[String]("attrKey") == "size")
   }
 
+  test("X1 reason_over_path: person1→job1 yields qualified-for inference (:27-81)") {
+    val inf = Reasoning.reasonOverPath(g, "person1", "job1").collect()
+    assert(inf.exists(r => r.getAs[String]("relType") == "qualified-for" &&
+      r.getAs[String]("srcId") == "person1" && r.getAs[String]("dstId") == "job1"))
+    // unreachable target ⇒ no inferences (reference :38-45)
+    assert(Reasoning.reasonOverPath(g, "person1", "nonexistent").count() == 0)
+  }
+
+  test("X7 resolve_conflicts shrinks the edge set and keeps nodes (:97-117)") {
+    val resolved = Reasoning.resolveConflicts(gContra)
+    assert(resolved.edges.count() < gContra.edges.count())
+    assert(resolved.nodes.count() == gContra.nodes.count())
+  }
+
+  test("G5 removeEntities cascades to touching edges (graph.py:136-164)") {
+    val g2 = graft.graphout.GraphBuilder.removeEntities(g, Seq("person1"))
+    assert(g2.nodes.count() == g.nodes.count() - 1)
+    assert(g2.edges.filter(t => t.srcId == "person1" || t.dstId == "person1").count() == 0)
+  }
+
   test("infer_new_relationships yields inferences on the base fixture (:119-129)") {
     // min_confidence 0.7 as the reference default
     val all = Reasoning.inferNewRelationships(g, 0.7)
