@@ -11,16 +11,24 @@ import org.apache.spark.sql.expressions.Window
  * `Queries.oracles` where SQL-expressible.
  *
  * Determinism rules (driver hash-compares values after sorting columns by
- * name): money aggregates are summed as DECIMAL(18,2) (exact, order-
- * independent — double sums are not), floating scores are rounded, and
- * every query's output is fully ordered or orderless (a bag of rows).
+ * name): money values are emitted as BIGINT cents — exact, order-
+ * independent under summation, and representation-proof (round-1 showed
+ * the driver's DECIMAL/HUGEINT canonicalization differs from DuckDB's
+ * textual form, so no DECIMAL column may reach an output schema; integer
+ * sums are CAST(... AS BIGINT) in the oracle because DuckDB widens them
+ * to HUGEINT). Floating scores are round()ed; every query's output is
+ * fully ordered or orderless (a bag of rows).
  */
 object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Money column (double, 2dp) → exact integer cents. round() semantics
+    * match DuckDB's for values that are already within 1e-9 of an integer
+    * after *100, which 2dp money always is.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -31,8 +39,8 @@ object Queries {
     t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
         count(lit(1)).as("cnt"))
 
   /** Filter + projection, pushed to the parquet scan (predicate pushdown). */
@@ -40,7 +48,7 @@ object Queries {
     t(s, d, "lineitem")
       .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05)
-      .select(col("l_orderkey"), col("l_partkey"), dec(col("l_extendedprice")).as("price"))
+      .select(col("l_orderkey"), col("l_partkey"), cents(col("l_extendedprice")).as("price_cents"))
 
   // ---------------------------------------------------------------- joins
 
@@ -49,7 +57,7 @@ object Queries {
     t(s, d, "customer")
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n_customers"),
-        sum(dec(col("c_acctbal"))).as("total_bal"))
+        sum(cents(col("c_acctbal"))).as("total_bal_cents"))
 
   /** V2 dangling-reference analog: anti join (customers with no
     * high-value order).
@@ -85,7 +93,7 @@ object Queries {
     t(s, d, "orders")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("best_price"))
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("best_price_cents"))
   }
 
   /** Q9 top-k by degree: explode endpoints → count → TakeOrderedAndProject. */
@@ -177,7 +185,7 @@ object Queries {
   val q17_events_agg: Q = (s, d) =>
     t(s, d, "events")
       .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("total_value_cents"))
 
   /** Set op: except — nations with no well-capitalized supplier. */
   val q18_set_ops: Q = (s, d) => {
@@ -386,7 +394,7 @@ object Queries {
       .withColumn("session_seq", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_seq")
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("session_value_cents"))
   }
 
   // ---------------------------------------------------------------- catalog
@@ -440,15 +448,15 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |count(*) AS cnt FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q02_filter_project" ->
-      """SELECT l_orderkey, l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount >= 0.05""".stripMargin,
     "q03_broadcast_join" ->
       """SELECT n_name, count(*) AS n_customers,
-        |sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
     "q04_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -463,7 +471,7 @@ object Queries {
         |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2""".stripMargin,
     "q07_keepmax_window" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS best_price
+      """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS best_price_cents
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn = 1""".stripMargin,
     "q08_degree_topk" ->
@@ -494,7 +502,7 @@ object Queries {
       """SELECT doc_id, lang FROM documents
         |WHERE regexp_matches(text, 'spark.*join|join.*spark')""".stripMargin,
     "q15_lang_gate" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IN ('en','es','de') GROUP BY 1""".stripMargin,
     "q16_ann_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -505,7 +513,8 @@ object Queries {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q17_events_agg" ->
       """SELECT user_id, event_type, count(*) AS n_events,
-        |sum(CAST(value AS DECIMAL(18,2))) AS total_value FROM events GROUP BY 1, 2""".stripMargin,
+        |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q18_set_ops" ->
       """SELECT CAST(n_nationkey AS INT) AS nk FROM nation
         |EXCEPT SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
@@ -527,11 +536,13 @@ object Queries {
         |WHERE c_custkey = 1""".stripMargin,
     "q21_infer_transitive" ->
       """SELECT 'cust_' || c_custkey AS src_id, 'region_' || n_regionkey AS dst_id,
-        |  'part-of' AS rel_type, round(0.9 * 0.8 * 0.9, 6) AS confidence
+        |  'part-of' AS rel_type,
+        |  round(CAST(0.9 AS DOUBLE) * CAST(0.8 AS DOUBLE) * CAST(0.9 AS DOUBLE), 6) AS confidence
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q22_infer_inverse" ->
       """SELECT 'cust_' || c_custkey AS src_id, 'nation_' || c_nationkey AS dst_id,
-        |  'part-of' AS rel_type, round(0.9 * 0.95, 6) AS confidence
+        |  'part-of' AS rel_type,
+        |  round(CAST(0.9 AS DOUBLE) * CAST(0.95 AS DOUBLE), 6) AS confidence
         |FROM customer""".stripMargin,
     "q23_cycle_check" ->
       """SELECT node_id, 'critical' AS severity FROM (VALUES ('region_0'),
@@ -548,10 +559,10 @@ object Queries {
         |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5""".stripMargin,
     "q32_sessions" ->
       """SELECT user_id, session_seq, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS session_value FROM (
-        |  SELECT user_id, value, sum(new_session) OVER (
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents FROM (
+        |  SELECT user_id, value, CAST(sum(new_session) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM (
         |    SELECT user_id, ts, event_id, value,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

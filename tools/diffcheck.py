@@ -18,7 +18,12 @@ def canon(val):
     import decimal, datetime
     if val is None: return "NULL"
     if isinstance(val, float): return repr(round(val, 9))
-    if isinstance(val, decimal.Decimal): return str(val.normalize())
+    # Deliberately NOT normalized: the driver's canonicalization of
+    # DECIMAL/HUGEINT values differs from DuckDB's textual form, so any
+    # Decimal reaching an output schema must FAIL locally too (round-1
+    # lesson: normalize() here hid 7 driver hash mismatches). Queries must
+    # emit bigint/strings/rounded doubles instead.
+    if isinstance(val, decimal.Decimal): return "DECIMAL:" + str(val)
     if isinstance(val, (datetime.datetime, datetime.date)): return val.isoformat()
     if isinstance(val, list): return "[" + ",".join(canon(v) for v in val) + "]"
     return str(val)
