@@ -397,6 +397,231 @@ object Queries {
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("session_value_cents"))
   }
 
+  // ------------------------------------------- verification / query / reason
+  // (round-2 additions: every operator family gets a DuckDB-oracled entry
+  // over a SQL-derivable planted graph — q23_cycle_check's template)
+
+  import graft.model.{Entity, Triple}
+  import graft.graphout.GraphBuilder.Graph
+
+  private def plainEdge(df: DataFrame): DataFrame =
+    df.withColumn("srcName", lit("")).withColumn("dstName", lit(""))
+      .withColumn("context", lit(null).cast("string"))
+      .withColumn("bidirectional", lit(false))
+      .withColumn("strength", lit(1.0))
+      .withColumn("attributes", map().cast("map<string,string>"))
+
+  /** V2 dangling references: graph with customer nodes only, edges point
+    * at absent nation nodes — every edge is flagged critical.
+    */
+  val q33_dangling_refs: Q = (s, d) => {
+    import s.implicits._
+    val g = tpchGraph(s, d)
+    val custOnly = g.nodes.where(col("entityType") === "person")
+    val cn = g.edges.where(col("relType") === "part-of" && col("id").startsWith("cn_"))
+    graft.graphout.Verifier.danglingReferences(Graph(custOnly, cn))
+      .select(col("involvedElements").getItem(0).as("rel_id"),
+        col("involvedElements").getItem(1).as("missing_id"),
+        col("severity"))
+  }
+
+  /** V3 contradictory relationships: planted separate-from edges opposing
+    * the part-of edges of region-0 nations.
+    */
+  val q34_contradictions: Q = (s, d) => {
+    import s.implicits._
+    val g = tpchGraph(s, d)
+    val sep = plainEdge(t(s, d, "nation").where(col("n_regionkey") === 0).select(
+      concat(lit("sep_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("region_"), col("n_regionkey")).as("dstId"),
+      lit("separate-from").as("relType"), lit(0.6).as("confidence"),
+      lit("").as("segId"))).as[Triple]
+    graft.graphout.Verifier.contradictoryRelationships(
+      Graph(g.nodes, g.edges.unionByName(sep).as[Triple]))
+      .select(col("involvedElements").getItem(0).as("id_a"),
+        col("involvedElements").getItem(1).as("id_b"),
+        col("severity"))
+  }
+
+  /** V4 transitive contradiction: is-a chain cust→nation→region plus a
+    * direct is-not-a cust→region for custkey ≤ 50.
+    */
+  val q35_transitive_contra: Q = (s, d) => {
+    import s.implicits._
+    val nodes = tpchGraph(s, d).nodes
+    val isa1 = t(s, d, "customer").select(
+      concat(lit("ia1_"), col("c_custkey")).as("id"),
+      concat(lit("cust_"), col("c_custkey")).as("srcId"),
+      concat(lit("nation_"), col("c_nationkey")).as("dstId"),
+      lit("is-a").as("relType"), lit(1.0).as("confidence"), lit("").as("segId"))
+    val isa2 = t(s, d, "nation").select(
+      concat(lit("ia2_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("region_"), col("n_regionkey")).as("dstId"),
+      lit("is-a").as("relType"), lit(1.0).as("confidence"), lit("").as("segId"))
+    val neg = t(s, d, "customer").where(col("c_custkey") <= 50)
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("neg_"), col("c_custkey")).as("id"),
+        concat(lit("cust_"), col("c_custkey")).as("srcId"),
+        concat(lit("region_"), col("n_regionkey")).as("dstId"),
+        lit("is-not-a").as("relType"), lit(1.0).as("confidence"), lit("").as("segId"))
+    val edges = plainEdge(isa1.unionByName(isa2).unionByName(neg)).as[Triple]
+    graft.graphout.Verifier.semanticContradictions(Graph(nodes, edges))
+      .select(col("involvedElements").getItem(0).as("src_id"),
+        col("involvedElements").getItem(1).as("dst_id"))
+      .distinct()
+  }
+
+  /** Q5 relationship text search: regex over edge context. */
+  val q36_search_relationships: Q = (s, d) => {
+    import s.implicits._
+    val g = tpchGraph(s, d)
+    val cn = t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("cn_"), col("c_custkey")).as("id"),
+        concat(lit("cust_"), col("c_custkey")).as("srcId"),
+        concat(lit("nation_"), col("c_nationkey")).as("dstId"),
+        lit("").as("srcName"), lit("").as("dstName"),
+        lit("part-of").as("relType"),
+        concat(lit("lives in "), col("n_name")).cast("string").as("context"),
+        lit(false).as("bidirectional"), lit(1.0).as("strength"),
+        lit(0.9).as("confidence"), lit("").as("segId"),
+        map().cast("map<string,string>").as("attributes")).as[Triple]
+    graft.query.GraphQueryOps.searchTextRelationships(
+      Graph(g.nodes, cn), "lives in nation_1\\d")
+      .select(col("id").as("rel_id"), col("context"))
+  }
+
+  /** Q6 induced subgraph with neighbor closure: region-0 nations plus
+    * their customers and region.
+    */
+  val q37_subgraph: Q = (s, d) => {
+    val g = tpchGraph(s, d)
+    val ids = t(s, d, "nation").where(col("n_regionkey") === 0)
+      .select(concat(lit("nation_"), col("n_nationkey")))
+      .collect().map(_.getString(0)).toSeq
+    val sub = graft.query.GraphQueryOps.getSubgraph(
+      g, ids, includeNeighbors = true, maxRelationships = 1000000)
+    sub.nodes.select(col("id"))
+  }
+
+  /** Q7 confidence filter: node confidence keyed to custkey%10, edges kept
+    * only when both endpoints survive.
+    */
+  val q38_confidence_filter: Q = (s, d) => {
+    import s.implicits._
+    val g = tpchGraph(s, d)
+    val nodes = g.nodes.toDF()
+      .withColumn("confidence",
+        when(col("entityType") === "person",
+          (substring_index(col("id"), "_", -1).cast("int") % 10) / lit(10.0))
+          .otherwise(lit(1.0))).as[Entity]
+    val f = graft.query.GraphQueryOps.filterByConfidence(
+      Graph(nodes, g.edges), minConfidence = 0.5)
+    f.edges.select(col("id").as("rel_id"))
+  }
+
+  /** Q8 connected components: each region's subtree is one component
+    * labeled by its minimum member id.
+    */
+  val q39_connected_components: Q = (s, d) =>
+    graft.query.GraphQueryOps.connectedComponents(tpchGraph(s, d))
+
+  /** X8 resolve contradictory: planted causes/prevents pairs — the
+    * max-confidence edge of each pair survives.
+    */
+  val q40_resolve_contradictory: Q = (s, d) => {
+    import s.implicits._
+    val nodes = tpchGraph(s, d).nodes
+    val ca = t(s, d, "nation").select(
+      concat(lit("ca_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("region_"), col("n_regionkey")).as("dstId"),
+      lit("causes").as("relType"),
+      when(col("n_nationkey") % 2 === 0, 0.9).otherwise(0.5).as("confidence"),
+      lit("").as("segId"))
+    val pr = t(s, d, "nation").select(
+      concat(lit("pr_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("region_"), col("n_regionkey")).as("dstId"),
+      lit("prevents").as("relType"), lit(0.7).as("confidence"), lit("").as("segId"))
+    val edges = plainEdge(ca.unionByName(pr)).as[Triple]
+    graft.reason.Reasoning.resolveContradictory(Graph(nodes, edges))
+      .select(col("id").as("rel_id"), col("relType").as("rel_type"))
+  }
+
+  /** X5 property conflicts: duplicate same-name entities disagreeing on a
+    * planted attribute for custkey%5 = 0.
+    */
+  val q41_property_conflicts: Q = (s, d) => {
+    import s.implicits._
+    val cust = t(s, d, "customer")
+    def node(prefix: String, seg: Column): DataFrame = cust.select(
+      concat(lit(prefix), col("c_custkey")).as("id"),
+      col("c_name").as("name"), lit("person").as("entityType"),
+      lit(null).cast("string").as("context"),
+      map(lit("segment"), seg).as("attributes"),
+      lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
+      lit("").as("path"), lit("").as("contentSha"))
+    val a = node("a_", lit("s1"))
+    val b = node("b_", when(col("c_custkey") % 5 === 0, "s2").otherwise("s1"))
+    val g = Graph(a.unionByName(b).as[Entity],
+      tpchGraph(s, d).edges.limit(0))
+    graft.reason.Reasoning.detectPropertyConflicts(g)
+      .select(col("name"), col("attrKey").as("attr_key"),
+        col("idA").as("id_a"), col("idB").as("id_b"))
+  }
+
+  /** T11 keyword extraction: top-5 terms per document by frequency
+    * (Summarizer's keyword rule over the documents table).
+    */
+  val q42_keywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.segment.Summarizer.StopWords.toSeq.sorted
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9_]+")).as("tok"))
+      .where(length(col("tok")) > 2 && !col("tok").isin(stop: _*))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("doc_id"), col("tok"), col("cnt"), col("rn"))
+  }
+
+  /** S5 language fallback: unsupported langs map to closest supported. */
+  val q43_lang_fallback: Q = (s, d) =>
+    graft.ops.TextAnalysis.languageFallback(t(s, d, "documents"))
+      .groupBy("lang", "lang_effective").agg(count(lit(1)).as("n_docs"))
+
+  /** Q9 eigenvector centrality on a star graph (closed-form oracle:
+    * hub = 1/√2, each of the L leaves = 1/√(2L)).
+    */
+  val q44_eigenvector: Q = (s, d) => {
+    import s.implicits._
+    val nodes = tpchGraph(s, d).nodes.toDF()
+      .unionByName(Seq(("hub", "Hub")).toDF("id", "name")
+        .withColumn("entityType", lit("place"))
+        .withColumn("context", lit(null).cast("string"))
+        .withColumn("attributes", map().cast("map<string,string>"))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("segId", lit("")).withColumn("repo", lit(""))
+        .withColumn("path", lit("")).withColumn("contentSha", lit("")))
+      .where(col("entityType") === "place" || col("id") === "hub")
+      .where(!col("id").startsWith("region_")).as[Entity]
+    val spokes = plainEdge(t(s, d, "nation").select(
+      concat(lit("sp_"), col("n_nationkey")).as("id"),
+      lit("hub").as("srcId"),
+      concat(lit("nation_"), col("n_nationkey")).as("dstId"),
+      lit("connected-to").as("relType"), lit(1.0).as("confidence"),
+      lit("").as("segId"))).as[Triple]
+    graft.query.GraphQueryOps.eigenvectorCentrality(
+      Graph(nodes, spokes), iterations = 40)
+      .select(col("id"), round(col("score"), 4).as("score"))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   val all: Map[String, Q] = Map(
@@ -432,6 +657,18 @@ object Queries {
     "q30_fingerprint" -> q30_fingerprint,
     "q31_multimodal" -> q31_multimodal,
     "q32_sessions" -> q32_sessions,
+    "q33_dangling_refs" -> q33_dangling_refs,
+    "q34_contradictions" -> q34_contradictions,
+    "q35_transitive_contra" -> q35_transitive_contra,
+    "q36_search_relationships" -> q36_search_relationships,
+    "q37_subgraph" -> q37_subgraph,
+    "q38_confidence_filter" -> q38_confidence_filter,
+    "q39_connected_components" -> q39_connected_components,
+    "q40_resolve_contradictory" -> q40_resolve_contradictory,
+    "q41_property_conflicts" -> q41_property_conflicts,
+    "q42_keywords" -> q42_keywords,
+    "q43_lang_fallback" -> q43_lang_fallback,
+    "q44_eigenvector" -> q44_eigenvector,
     // engine-native (no SQL oracle → rows-only driver check)
     "kg_tripleset" -> ((s, _) => sharedKg(s).tripleSet),
     "kg_stats" -> ((s, _) => graphout.GraphBuilder.stats(sharedKg(s).graph))
@@ -557,6 +794,74 @@ object Queries {
         |WHERE round(list_dot_product(a.embedding, b.embedding) /
         |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
         |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5""".stripMargin,
+    "q33_dangling_refs" ->
+      """SELECT 'cn_' || c_custkey AS rel_id, 'nation_' || c_nationkey AS missing_id,
+        |  'critical' AS severity FROM customer""".stripMargin,
+    "q34_contradictions" ->
+      """SELECT 'nr_' || n_nationkey AS id_a, 'sep_' || n_nationkey AS id_b,
+        |  'medium' AS severity FROM nation WHERE n_regionkey = 0""".stripMargin,
+    "q35_transitive_contra" ->
+      """SELECT 'cust_' || c_custkey AS src_id, 'region_' || n_regionkey AS dst_id
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey <= 50""".stripMargin,
+    "q36_search_relationships" ->
+      """SELECT 'cn_' || c_custkey AS rel_id, 'lives in ' || n_name AS context
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE regexp_matches(lower(n_name), 'nation_1[0-9]')""".stripMargin,
+    "q37_subgraph" ->
+      """SELECT 'nation_' || n_nationkey AS id FROM nation WHERE n_regionkey = 0
+        |UNION ALL SELECT 'region_0'
+        |UNION ALL SELECT 'cust_' || c_custkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 0""".stripMargin,
+    "q38_confidence_filter" ->
+      """SELECT 'cn_' || c_custkey AS rel_id FROM customer WHERE c_custkey % 10 >= 5
+        |UNION ALL SELECT 'nr_' || n_nationkey FROM nation""".stripMargin,
+    "q39_connected_components" ->
+      """WITH rc AS (
+        |  SELECT n_regionkey AS rk, min('cust_' || c_custkey) AS comp
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+        |SELECT 'cust_' || c_custkey AS id, comp
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN rc ON n_regionkey = rk
+        |UNION ALL SELECT 'nation_' || n_nationkey, comp FROM nation JOIN rc ON n_regionkey = rk
+        |UNION ALL SELECT 'region_' || r_regionkey, comp FROM region JOIN rc ON r_regionkey = rk""".stripMargin,
+    "q40_resolve_contradictory" ->
+      """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'ca_' || n_nationkey
+        |            ELSE 'pr_' || n_nationkey END AS rel_id,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'causes' ELSE 'prevents' END AS rel_type
+        |FROM nation""".stripMargin,
+    "q41_property_conflicts" ->
+      """SELECT c_name AS name, 'segment' AS attr_key,
+        |  'a_' || c_custkey AS id_a, 'b_' || c_custkey AS id_b
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+    "q42_keywords" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok
+        |  FROM documents),
+        |filt AS (SELECT doc_id, tok FROM toks
+        |  WHERE length(tok) > 2 AND tok NOT IN (""".stripMargin +
+        graft.segment.Summarizer.StopWords.toSeq.sorted.map("'" + _ + "'").mkString(",") +
+        """)),
+        |cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM filt GROUP BY 1, 2),
+        |rnk AS (SELECT doc_id, tok, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn FROM cnt)
+        |SELECT doc_id, tok, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rn
+        |FROM rnk WHERE rn <= 5""".stripMargin),
+    "q43_lang_fallback" ->
+      """SELECT lang,
+        |  CASE WHEN lang IN ('en','es','de','fr','ru') THEN lang
+        |       WHEN lang IN ('uk','be','bg','sr') THEN 'ru'
+        |       WHEN lang IN ('pt','ca','gl','it') THEN 'es'
+        |       WHEN lang = 'ro' THEN 'fr'
+        |       WHEN lang IN ('nl','da','sv','no') THEN 'de'
+        |       ELSE 'en' END AS lang_effective,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q44_eigenvector" ->
+      """SELECT 'hub' AS id, round(CAST(1 AS DOUBLE)/sqrt(2), 4) AS score
+        |UNION ALL
+        |SELECT 'nation_' || n_nationkey, round(CAST(1 AS DOUBLE)/sqrt(50), 4)
+        |FROM nation""".stripMargin,
     "q32_sessions" ->
       """SELECT user_id, session_seq, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents FROM (

@@ -53,6 +53,48 @@ object SimilarityScore {
 }
 
 /**
+ * Native Catalyst expression for the linker's merge-adjudication rule
+ * (C3) — graft.link.Similarity.accept (the deterministic stand-in for the
+ * reference's LLM merge decision, coreference_resolver.py:288-370). Same
+ * rationale as [[SimilarityScore]]: replaces a ScalaUDF in the linker's
+ * pair-scoring hot path so the candidate-pair plan stays inside
+ * whole-stage codegen with no encoder round-trips.
+ *
+ * Registered for SQL as `graft_similarity_accept(a, b)`.
+ */
+case class SimilarityAccept(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityAccept.accept(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SimilarityAccept.accept($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_similarity_accept"
+}
+
+object SimilarityAccept {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def accept(a: UTF8String, b: UTF8String): Boolean =
+    Similarity.accept(a.toString, b.toString)
+
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      SimilarityAccept(
+        org.apache.spark.sql.graftshim.GraftSql.expression(a),
+        org.apache.spark.sql.graftshim.GraftSql.expression(b)))
+}
+
+/**
  * Session extensions: registers graft's native functions for SQL use.
  * Activate with
  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -65,5 +107,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimilarityScore].getName, "graft_similarity"),
         (children: Seq[Expression]) => SimilarityScore(children(0), children(1))))
+    e.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_similarity_accept"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimilarityAccept].getName, "graft_similarity_accept"),
+        (children: Seq[Expression]) => SimilarityAccept(children(0), children(1))))
   }
 }

@@ -81,10 +81,16 @@ object GraphBuilder {
     Graph(nodes, edges)
   }
 
-  /** G4 graph stats: counts by type + density (reference graph.py:483-524;
-    * clustering/avg-path deferred exactly as the reference try/excepts them).
+  /** G4 graph stats: counts by type + density (reference graph.py:483-524).
+    * `full = true` adds the expensive metrics the reference computes under
+    * try/except (graph.py:503-509): average clustering coefficient
+    * (triangle counting over the undirected simple graph — two self-joins,
+    * no adjacency materialization per node) and the connectivity flag
+    * (exactly one connected component). Average shortest path is
+    * intentionally omitted: exact APSP is quadratic at best and the
+    * reference itself only attempts it when connected on tiny graphs.
     */
-  def stats(g: Graph): DataFrame = {
+  def stats(g: Graph, full: Boolean = false): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val n = g.nodes.count().toDouble
@@ -94,9 +100,46 @@ object GraphBuilder {
       .select(concat(lit("entity:"), $"entityType").as("key"), $"count".cast("double").as("value"))
     val byRType = g.edges.groupBy($"relType").count()
       .select(concat(lit("rel:"), $"relType").as("key"), $"count".cast("double").as("value"))
-    val scalars = Seq(
-      ("nodes", n), ("edges", e), ("density", density)
-    ).toDF("key", "value")
+    val extra =
+      if (!full) Nil
+      else Seq(
+        ("avg_clustering", avgClusteringCoefficient(g)),
+        ("is_connected",
+          if (graft.query.GraphQueryOps.connectedComponents(g)
+            .select("comp").distinct().count() == 1) 1.0 else 0.0))
+    val scalars = (Seq(("nodes", n), ("edges", e), ("density", density)) ++ extra)
+      .toDF("key", "value")
     scalars.union(byEType).union(byRType)
+  }
+
+  /** Average local clustering coefficient over the undirected simple graph
+    * (nx.average_clustering semantics, reference graph.py:503-505):
+    * c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), averaged over ALL nodes with
+    * c(v)=0 when deg<2. Triangles per node via a wedge join: for each
+    * wedge a−v−b (a<b) check edge a−b; every hit is one triangle at v.
+    */
+  def avgClusteringCoefficient(g: Graph): Double = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val dir = g.edges.toDF().select($"srcId".as("a"), $"dstId".as("b"))
+      .where($"a" =!= $"b")
+    val und = dir.union(dir.select($"b".as("a"), $"a".as("b"))).distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    // wedges centered at v: (v, x) ⋈ (v, y), x < y; triangle iff und(x, y)
+    val wedges = und.select($"a".as("v"), $"b".as("x"))
+      .join(und.select($"a".as("v"), $"b".as("y")), Seq("v"))
+      .where($"x" < $"y")
+    val tri = wedges
+      .join(und.select($"a".as("x"), $"b".as("y")), Seq("x", "y"), "left_semi")
+      .groupBy($"v".as("id")).agg(count(lit(1)).as("tri"))
+    val coef = deg.join(tri, Seq("id"), "left")
+      .select(
+        when($"deg" >= 2,
+          coalesce($"tri", lit(0L)) * 2.0 / ($"deg" * ($"deg" - 1)))
+          .otherwise(0.0).as("c"))
+      .agg(coalesce(sum($"c"), lit(0.0))).head().getDouble(0)
+    val n = g.nodes.count()
+    if (n == 0) 0.0 else coef / n
   }
 }

@@ -61,8 +61,15 @@ object ConnectedComponents {
     * graph is typically minuscule relative to the corpus, and ~10 shuffle
     * rounds of near-empty data are pure fixed cost that destroys scaling
     * efficiency. Above the threshold the distributed algorithm runs.
+    *
+    * Sized against driver heap, not fixed-cost savings: 200k edges × two
+    * ~32-char ids × (String + HashMap entry + tuple overhead ≈ 150 B/id)
+    * ≈ 60 MB — safe under any default driver memory. (Round-1 had 2M,
+    * which is hundreds of MB of driver heap — an OOM risk that engaged
+    * before the distributed path ever could.) Override via env for tests.
     */
-  val DriverThreshold = 2000000L
+  val DriverThreshold: Long =
+    sys.env.get("GRAFT_CC_DRIVER_THRESHOLD").map(_.toLong).getOrElse(200000L)
 
   /** @return DataFrame(id, comp) */
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {

@@ -32,6 +32,32 @@ object EntityMerge {
     if (s.startsWith("\"")) s
     else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Split a JSON-encoded conflict list into its element strings. Quote-
+    * aware: a bare `split(",")` corrupts values that themselves contain
+    * commas (e.g. `"a,b"` — the scalar→list-on-conflict port of
+    * entity.py:66-72 must round-trip such values losslessly).
+    */
+  private[link] def elems(s: String): Seq[String] = {
+    if (!s.startsWith("[")) return Seq(quote(s))
+    val body = s.substring(1, s.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var esc = false
+    body.foreach { c =>
+      if (esc) { cur += c; esc = false }
+      else c match {
+        case '\\' if inQ => cur += c; esc = true
+        case '"' => cur += c; inQ = !inQ
+        case ',' if !inQ =>
+          if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
   /** Canonical priority: true iff a should be treated as the 'self' side. */
   private[link] def leftWins(a: Entity, b: Entity): Boolean =
     if (a.confidence != b.confidence) a.confidence > b.confidence
@@ -60,9 +86,6 @@ object EntityMerge {
         case None => acc + (k -> v)
         case Some(existing) if existing == v => acc
         case Some(existing) =>
-          def elems(s: String): Seq[String] =
-            if (s.startsWith("[")) s.substring(1, s.length - 1).split(",").filter(_.nonEmpty).toSeq
-            else Seq(quote(s))
           acc + (k -> (elems(existing) ++ elems(v)).distinct.sorted.mkString("[", ",", "]"))
       }
     }

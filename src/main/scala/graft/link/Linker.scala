@@ -59,26 +59,33 @@ object Linker {
       .dropDuplicates("bkey", "etype", "id")
 
     // cap block size: rank members within a block, keep first MaxBlockSize
-    // (deterministic order by id) — the skew backstop for stop-word names
+    // (deterministic order by id) — the skew backstop for stop-word names.
+    // Capped-away members are COUNTED via observe (Observed WARN-logs >0;
+    // checkpoint manifests snapshot it): entities beyond the cap are never
+    // linked, and that recall loss must be visible, not silent.
+    graft.runtime.Observed.install(spark)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bkey", "etype").orderBy("id")
     val capped = keyed
       .withColumn("rn", row_number().over(w))
+      .observe("linker_block_cap",
+        sum(when($"rn" > MaxBlockSize, 1L).otherwise(0L)).as("dropped"))
       .where($"rn" <= MaxBlockSize)
       .drop("rn")
 
     val a = capped.select($"bkey", $"etype", $"id".as("id1"), $"name".as("name1"))
     val b = capped.select($"bkey", $"etype", $"id".as("id2"), $"name".as("name2"))
-    val scoreUdf = udf((n1: String, n2: String) => Similarity.score(n1, n2))
     // two-phase like the reference: candidate threshold (blocking, τ=0.7)
-    // then deterministic adjudication (the LLM stand-in)
-    val acceptUdf = udf((n1: String, n2: String) => Similarity.accept(n1, n2))
+    // then deterministic adjudication (the LLM stand-in). Both scored with
+    // native codegen'd Catalyst expressions — no ScalaUDF in the pair hot
+    // path (PlanSpec pins this).
     a.join(b, Seq("bkey", "etype"))
       .where($"id1" < $"id2")
       .select($"id1", $"id2", $"name1", $"name2")
       .distinct()
-      .withColumn("score", scoreUdf($"name1", $"name2"))
-      .where($"score" >= threshold && acceptUdf($"name1", $"name2"))
+      .withColumn("score", graft.functions.SimilarityScore($"name1", $"name2"))
+      .where($"score" >= threshold &&
+        graft.functions.SimilarityAccept($"name1", $"name2"))
   }
 
   final case class LinkResult(

@@ -36,6 +36,28 @@ object TextAnalysis {
       sort_array(array(scores: _*), asc = false).getItem(0).getField("hits").as("lang_hits"))
   }
 
+  /** S5 language fallback (reference src/utils/language.py:149-179): an
+    * unsupported detected language maps to its closest supported one via a
+    * broadcast lookup; anything unmapped falls back to the default. Pure
+    * column expression (map literal + coalesce) — no shuffle, no UDF.
+    */
+  val LanguageFallback: Map[String, String] = Map(
+    // Slavic → ru; Romance → es/fr; Germanic → de/en (language.py:149-179
+    // uses the same closest-supported-language principle)
+    "uk" -> "ru", "be" -> "ru", "bg" -> "ru", "sr" -> "ru",
+    "pt" -> "es", "ca" -> "es", "gl" -> "es", "it" -> "es",
+    "ro" -> "fr", "nl" -> "de", "da" -> "de", "sv" -> "de", "no" -> "de")
+
+  def languageFallback(docs: DataFrame, langCol: String = "lang",
+                       supported: Seq[String] = Seq("en", "es", "de", "fr", "ru"),
+                       default: String = "en"): DataFrame = {
+    val fbMap = map(LanguageFallback.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    docs.withColumn("lang_effective",
+      when(col(langCol).isin(supported.map(s => s: Any): _*), col(langCol))
+        .otherwise(coalesce(element_at(fbMap, col(langCol)), lit(default))))
+  }
+
   /** Quality scoring: length / punctuation / stopword / repetition ratios
     * — the standard pre-training corpus filters, as exact-arithmetic
     * columns so results are engine-independent.

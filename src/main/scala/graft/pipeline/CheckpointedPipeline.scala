@@ -22,8 +22,9 @@ import graft.segment.CodeSegmenter
  * partition-level with no code change above the Checkpoint API.
  *
  * Stage DAG (inputs recorded in each manifest):
- *   corpus → segments → extracted(entities+triples) → canonical_mentions
- *          → links → nodes/edges → triple_set
+ *   corpus → segments → extracted(entities+triples, ONE regex pass)
+ *          → mentions/triples (cheap explodes of the committed extraction)
+ *          → canonical_mentions → links → nodes/edges → triple_set
  */
 object CheckpointedPipeline {
 
@@ -40,13 +41,18 @@ object CheckpointedPipeline {
       CodeSegmenter.windows(corpus.drop("content_sha").as[CodeFile]).toDF()
     }
 
-    val mentions = cp.runStage("02_mentions", Seq("01_segments")) {
-      val (m, _) = Extractor.extract(segments.as[Segment])
-      m.toDF()
+    // ONE pass of the regex bank over the corpus (round-1 ran it twice —
+    // once per derived stage): the combined extraction is committed as
+    // nested arrays, and the mention/triple tables are cheap explodes of
+    // that parquet, never re-running extraction.
+    val extracted = cp.runStage("02_extracted", Seq("01_segments")) {
+      Extractor.extractCombined(segments.as[Segment]).toDF("entities", "triples")
     }
-    val triples = cp.runStage("03_triples", Seq("01_segments")) {
-      val (_, t) = Extractor.extract(segments.as[Segment])
-      t.toDF()
+    val mentions = cp.runStage("02_mentions", Seq("02_extracted")) {
+      extracted.select(explode(col("entities")).as("e")).select("e.*")
+    }
+    val triples = cp.runStage("03_triples", Seq("02_extracted")) {
+      extracted.select(explode(col("triples")).as("t")).select("t.*")
     }
 
     val canonical = cp.runStage("04_canonical_mentions", Seq("02_mentions")) {

@@ -105,11 +105,17 @@ object GraphQueryOps {
     var accInit = false
     var depth = 1
     while (depth <= maxDepth && !frontier.isEmpty) {
+      // visited-once semantics with a DETERMINISTIC parent: when two
+      // parents reach the same child at the same depth, keep the
+      // lexicographically-least (parentId, relId) — dropDuplicates would
+      // keep a partition-order-dependent row (round-1 verdict item 5)
       val step = frontier.join(adj, Seq("fromId"))
         .join(visited.withColumnRenamed("id", "toId"), Seq("toId"), "left_anti")
-        .select($"fromId".as("parentId"), $"relId", $"relType", $"direction",
-          $"toId".as("childId"), lit(depth).as("depth"))
-        .dropDuplicates("childId") // visited-once semantics
+        .groupBy($"toId".as("childId"))
+        .agg(min(struct($"fromId", $"relId", $"relType", $"direction")).as("w"))
+        .select($"w.fromId".as("parentId"), $"w.relId".as("relId"),
+          $"w.relType".as("relType"), $"w.direction".as("direction"),
+          $"childId", lit(depth).as("depth"))
         .localCheckpoint(true)
       acc = if (!accInit) { accInit = true; step } else acc.union(step)
       visited = visited.union(step.select($"childId".as("id"))).distinct().localCheckpoint(true)
@@ -172,6 +178,33 @@ object GraphQueryOps {
     entityType.foreach(t => ds = ds.where(col("entityType") === t))
     ds
   }
+
+  /** Q5 search_text over RELATIONSHIPS: regex on relType/context/attribute
+    * values (the reference returns relationships alongside entities —
+    * graph_query.py:255-295 with the relationship matcher :689-724; round-1
+    * covered entities only).
+    */
+  def searchTextRelationships(g: Graph, pattern: String,
+                              caseSensitive: Boolean = false,
+                              relType: Option[String] = None): Dataset[Triple] = {
+    val p = if (caseSensitive) pattern else "(?i)" + pattern
+    var ds = g.edges.where(
+      col("relType").rlike(p) ||
+        coalesce(col("context"), lit("")).rlike(p) ||
+        exists(map_values(col("attributes")), v => v.rlike(p)))
+    relType.foreach(t => ds = ds.where(col("relType") === t))
+    ds
+  }
+
+  /** Q5 combined search, mirroring the reference's
+    * {entities: [...], relationships: [...]} result shape.
+    */
+  final case class SearchResult(entities: Dataset[Entity], relationships: Dataset[Triple])
+
+  def searchAll(g: Graph, pattern: String, caseSensitive: Boolean = false): SearchResult =
+    SearchResult(
+      searchText(g, pattern, caseSensitive),
+      searchTextRelationships(g, pattern, caseSensitive))
 
   /** Q6 get_subgraph — induced subgraph of an id set, optional 1-hop
     * neighbor closure, relationship cap (graph_query.py:297-354).
@@ -273,6 +306,54 @@ object GraphQueryOps {
       i += 1
     }
     ranks
+  }
+
+  /** Q9 eigenvector centrality — power iteration on the undirected
+    * adjacency (reference sort_entities_by_metric supports eigenvector via
+    * networkx, graph_query.py:458-464). Same iterative join-aggregate
+    * skeleton as pagerank; the vector is L2-normalized each iteration via
+    * one scalar aggregate.
+    */
+  def eigenvectorCentrality(g: Graph, iterations: Int = 20): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    // undirected view (networkx eigenvector_centrality on DiGraph uses
+    // in-edges; the reference builds from an undirected metric sort — we
+    // symmetrize so isolated direction quirks don't zero the vector)
+    val dir = g.edges.toDF().select($"srcId".as("src"), $"dstId".as("dst"))
+    val edges = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint(true)
+    val n = g.nodes.count().toDouble
+    var x = g.nodes.toDF().select($"id", lit(1.0 / math.sqrt(n)).as("score"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val nbrSum = edges
+        .join(x.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy($"dst".as("id")).agg(sum($"score").as("nbr"))
+      // x' = x + A·x (networkx's shift — plain A·x oscillates on
+      // bipartite graphs; A+I has the same eigenvectors)
+      val joined = x
+        .join(nbrSum, Seq("id"), "left")
+        .select($"id", ($"score" + coalesce($"nbr", lit(0.0))).as("raw"))
+      val norm = math.sqrt(
+        joined.agg(sum($"raw" * $"raw")).head().getDouble(0).max(1e-300))
+      x = joined.select($"id", ($"raw" / norm).as("score")).localCheckpoint(true)
+      i += 1
+    }
+    x
+  }
+
+  /** Q9 top-k by a named centrality metric (graph_query.py:436-489):
+    * degree | pagerank | eigenvector.
+    */
+  def topKByMetric(g: Graph, metric: String, k: Int = 10): DataFrame = metric match {
+    case "degree" => topKByDegree(g, k)
+    case "pagerank" =>
+      pagerank(g).orderBy(desc("rank"), asc("id")).limit(k)
+    case "eigenvector" =>
+      eigenvectorCentrality(g).orderBy(desc("score"), asc("id")).limit(k)
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
   /** Q10 relationships between a pair / touching an entity (graph.py:218-281). */

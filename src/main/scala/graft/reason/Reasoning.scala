@@ -341,21 +341,44 @@ object Reasoning {
       (_, bv, wv) => coalesce(wv, bv))
 
   /** X10 resolve circular hierarchy: remove the lowest-confidence edge on
-    * each cycle (graph_reasoning.py:561-612). Approximation at scale: for
-    * each node flagged on a cycle, drop its minimum-confidence outgoing
-    * hierarchical edge.
+    * each cycle (graph_reasoning.py:561-612, which walks nx.simple_cycles
+    * and removes the weakest edge per cycle).
+    *
+    * Set-oriented form: iterate bounded walk extension tracking, per
+    * (origin, last) pair, the weakest edge struct (confidence, edgeId) on
+    * one real walk between them (the per-pair min aggregate keeps state
+    * linear in reachable pairs, not walks). When a walk closes
+    * (origin = last) its tracked weakest edge is dropped. Any edge of a
+    * closed directed walk lies on a directed cycle of the walk's edge set,
+    * so every dropped edge is genuinely on a cycle — unlike round-1's
+    * approximation, which dropped the min outgoing edge of EVERY flagged
+    * node and could delete more edges than the reference.
+    * Cycles longer than maxLen hops are not resolved (bounded iteration;
+    * the reference's simple_cycles is likewise practically bounded).
     */
-  def resolveCircular(g: Graph): Dataset[Triple] = {
+  def resolveCircular(g: Graph, maxLen: Int = 6): Dataset[Triple] = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val flagged = detectCircularHierarchies(g)
-      .select($"id".as("srcId"), $"relType".as("rt"))
-    val w = Window.partitionBy($"srcId", $"rt").orderBy(asc("confidence"), asc("id"))
-    val weakest = lowered(g)
-      .join(flagged, Seq("srcId", "rt"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
-      .select($"id")
-    g.edges.join(weakest, Seq("id"), "left_anti").as[Triple]
+    val types = Seq("is-a", "part-of", "contains")
+    val dropIds = types.map { tt =>
+      val h = lowered(g).where($"rt" === tt)
+        .select($"srcId".as("src"), $"dstId".as("dst"),
+          struct($"confidence", $"id").as("e"))
+        .localCheckpoint(true)
+      var paths = h.select($"src".as("origin"), $"dst".as("last"), $"e".as("minE"))
+      var drops = paths.where($"origin" === $"last").select($"minE.id".as("id"))
+      var i = 1
+      while (i < maxLen && !paths.isEmpty) {
+        paths = paths.join(h.withColumnRenamed("src", "last"), Seq("last"))
+          .select($"origin", $"dst".as("last"), least($"minE", $"e").as("minE"))
+          .groupBy($"origin", $"last").agg(min($"minE").as("minE"))
+          .localCheckpoint(true)
+        drops = drops.union(paths.where($"origin" === $"last").select($"minE.id".as("id")))
+        paths = paths.where($"origin" =!= $"last")
+        i += 1
+      }
+      drops
+    }.reduce(_ union _).distinct()
+    g.edges.join(dropIds, Seq("id"), "left_anti").as[Triple]
   }
 }

@@ -41,9 +41,16 @@ final class Checkpoint(spark: SparkSession, root: String) {
     val out = read(stage)
     val rows = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
+    // observed cap/drop counters harvested during this stage's jobs —
+    // part of the lineage record (no-silent-caps rule)
+    val observed = Observed.snapshot()
+      .map { case (name, m) =>
+        "\"" + name + "\":{" +
+          m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
+      }.mkString("{", ",", "}")
     val manifest =
       s"""{"stage":"$stage","rows":$rows,"inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],
-         |"wallSec":$wallSec,"ts":"${java.time.Instant.now()}"}""".stripMargin.replace("\n", "")
+         |"wallSec":$wallSec,"observed":$observed,"ts":"${java.time.Instant.now()}"}""".stripMargin.replace("\n", "")
     Files.createDirectories(manifestPath(stage).getParent)
     val tmp = Paths.get(manifestPath(stage).toString + ".tmp")
     Files.writeString(tmp, manifest, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

@@ -17,9 +17,14 @@ class CheckpointSpec extends SparkSpec {
     // every stage committed with a manifest carrying rows + lineage
     val cp = new graft.runtime.Checkpoint(spark, root)
     val manifests = cp.manifests()
-    assert(manifests.size == 9, s"expected 9 stage manifests, got ${manifests.size}")
+    assert(manifests.size == 10, s"expected 10 stage manifests, got ${manifests.size}")
     assert(manifests.forall(_.contains("\"rows\":")))
     assert(manifests.exists(m => m.contains("08_triple_set") && m.contains("07_edges")))
+    // single-pass extraction: mentions/triples derive from 02_extracted
+    assert(manifests.exists(m => m.contains("\"02_mentions\"") && m.contains("02_extracted")))
+    assert(manifests.exists(m => m.contains("\"03_triples\"") && m.contains("02_extracted")))
+    // observed cap counters are part of the lineage record
+    assert(manifests.forall(_.contains("\"observed\":")))
 
     // resume: a second run must read committed outputs (much faster, same rows)
     val t1 = System.nanoTime()

@@ -6,6 +6,26 @@ import graft.link.EntityMerge
 import graft.segment.CodeSegmenter
 
 class EntityMergeSpec extends SparkSpec {
+
+  test("attribute conflict lists round-trip values containing commas/quotes") {
+    import graft.model.Entity
+    def e(conf: Double, seg: String, attrs: Map[String, String]) =
+      Entity("id1", "N", "t", None, attrs, conf, seg, "", "", "")
+    // scalar→list-on-conflict (entity.py:66-72) with a comma-bearing value:
+    // a bare split(",") would shred "a,b" into corrupt fragments
+    val m1 = EntityMerge.merge2(
+      e(1.0, "s1", Map("k" -> "a,b")), e(0.9, "s2", Map("k" -> "c")))
+    assert(m1.attributes("k") == "[\"a,b\",\"c\"]", m1.attributes("k"))
+    // merging the list with a third value keeps elements intact
+    val m2 = EntityMerge.merge2(m1, e(0.8, "s3", Map("k" -> "d\"x")))
+    assert(m2.attributes("k") == "[\"a,b\",\"c\",\"d\\\"x\"]", m2.attributes("k"))
+    // associativity under a different fold order
+    val alt = EntityMerge.merge2(
+      e(1.0, "s1", Map("k" -> "a,b")),
+      EntityMerge.merge2(e(0.9, "s2", Map("k" -> "c")), e(0.8, "s3", Map("k" -> "d\"x"))))
+    assert(alt.attributes("k") == m2.attributes("k"))
+  }
+
   test("fast SQL dedup ≡ typed Aggregator dedup on extractor output") {
     import spark.implicits._
     val segs = CodeSegmenter.windows(CorpusGen.generate(spark, 200))

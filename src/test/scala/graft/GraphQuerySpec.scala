@@ -51,6 +51,54 @@ class GraphQuerySpec extends SparkSpec {
     assert(t4.nonEmpty && t4.forall(_.getAs[String]("direction") == "incoming"))
   }
 
+  test("G4 full stats: avg clustering coefficient (nx semantics) and connectivity") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
+    def rel(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    // triangle a-b-c plus tail c-d-e:
+    // c(a)=1, c(b)=1, c(c)=2T/(deg·(deg-1))=2/(3·2)=1/3, c(d)=0, c(e)=0
+    // → avg = (1+1+1/3)/5 = 7/15
+    val g = graft.graphout.GraphBuilder.Graph(
+      Seq("a", "b", "c", "d", "e").map(ent).toDS(),
+      Seq(rel("1", "a", "b"), rel("2", "b", "c"), rel("3", "a", "c"),
+        rel("4", "c", "d"), rel("5", "d", "e")).toDS())
+    val cc = graft.graphout.GraphBuilder.avgClusteringCoefficient(g)
+    assert(math.abs(cc - 7.0 / 15.0) < 1e-9, cc.toString)
+    val stats = graft.graphout.GraphBuilder.stats(g, full = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stats("is_connected") == 1.0)
+    assert(math.abs(stats("avg_clustering") - 7.0 / 15.0) < 1e-9)
+    // disconnect: drop the bridge edge c-d → two components
+    val g2 = graft.graphout.GraphBuilder.Graph(
+      g.nodes, g.edges.where($"id" =!= "4"))
+    val stats2 = graft.graphout.GraphBuilder.stats(g2, full = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stats2("is_connected") == 0.0)
+  }
+
+  test("traverse picks a deterministic parent on multi-parent ties") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    // s → {a, b} → c: at depth 2 both a and b reach c simultaneously;
+    // the winner must be the lexicographic min (parentId, relId) = a,
+    // under any partitioning (round-1 dropDuplicates kept an arbitrary row)
+    def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
+    def rel(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    val g = graft.graphout.GraphBuilder.Graph(
+      Seq(ent("s"), ent("a"), ent("b"), ent("c")).toDS(),
+      Seq(rel("e1", "s", "a"), rel("e2", "s", "b"),
+        rel("e3", "a", "c"), rel("e4", "b", "c")).toDS())
+    (1 to 3).foreach { _ =>
+      val rows = GraphQueryOps.traverse(g, "s", maxDepth = 2)
+        .collect().map(r => (r.getAs[String]("childId"), r.getAs[String]("parentId"))).toMap
+      assert(rows("c") == "a", rows.toString)
+      assert(rows("a") == "s" && rows("b") == "s")
+    }
+  }
+
   test("find_path: alice→company_x exists; alice→project_y needs >1 hops; depth-1 gives none (:102-119)") {
     val p1 = GraphQueryOps.findPath(g, "alice", "company_x").collect()
     assert(p1.nonEmpty)

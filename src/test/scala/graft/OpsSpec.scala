@@ -54,6 +54,55 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(pairs.size == 1)
   }
+
+  test("native MinHashSignature: identical docs identical sigs; estimate tracks true jaccard") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = ((1 to 45).map(i => s"tok$i") ++ (100 to 114).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val k = 128
+    val sigs = docs.select($"doc_id",
+      graft.functions.MinHashSignature($"text", k, 3).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L)) // identical text → identical signature
+    assert(sigs(0L).length == k && sigs(0L).distinct.length > k / 2)
+    // true 3-gram shingle jaccard of a vs b: |A∩B| = 43 (43 unbroken
+    // 3-grams of tok1..tok45), |A| = 58, |B| = 58, union = 73
+    val est = sigs(0L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / k
+    val truth = 43.0 / 73.0
+    assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
+  }
+
+  test("multi-band embedding LSH reaches full recall vs brute force on planted near-dups") {
+    import spark.implicits._
+    // 40 random-ish vectors + 10 planted near-duplicates (tiny perturbation)
+    val bases = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 7.13 + d * 1.71).toFloat))
+    }
+    val dups = (0 until 10).map { i =>
+      (100L + i, bases(i)._2.map(v => v * 1.001f + 0.0005f))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val tau = 0.98
+    // brute-force ground truth
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val all = bases ++ dups
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 10)
+    val got = Dedup.embeddingNearDup(emb, threshold = tau)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB"))).toSet
+    // multi-band: every returned pair is truly ≥ tau, and recall ≥ 0.9
+    // (round-1's single 8-bit band is probabilistically much weaker)
+    assert(got.subsetOf(truth), (got -- truth).toString)
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall got=${got.size} truth=${truth.size}")
+  }
 }
 
 class AnnSpec extends SparkSpec {

@@ -73,6 +73,63 @@ class PlanSpec extends SparkSpec {
     assert(viaSql == 1.0)
   }
 
+  test("linker pair scoring runs on native expressions — no ScalaUDF in the plan") {
+    import spark.implicits._
+    val ents = Seq(
+      graft.model.Entity("e1", "KnowledgeGraph", "class", None, Map.empty, 1.0, "", "", "", ""),
+      graft.model.Entity("e2", "knowledge_graph", "class", None, Map.empty, 1.0, "", "", "", ""),
+      graft.model.Entity("e3", "Unrelated", "class", None, Map.empty, 1.0, "", "", "", "")
+    ).toDS()
+    val pairs = graft.link.Linker.candidatePairs(ents)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(1500))
+    assert(p.contains("graft_similarity"), p.take(1500))
+    val got = pairs.collect()
+    assert(got.length == 1 &&
+      got.head.getAs[String]("id1") == "e1" && got.head.getAs[String]("id2") == "e2")
+  }
+
+  test("IVF cell assignment is a pure projection — no Exchange, matches brute-force argmax") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(i => math.sin(seed * 3.7 + i).toFloat)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i % 7))).toDF("vec_id", "embedding")
+    val centroids = graft.ops.Ann.seedCentroids(corpus, 4)
+    val cells = graft.ops.Ann.assignCells(corpus, centroids)
+    // plan shape: zero shuffles (round-1 did crossJoin + window = exchange)
+    val p = cells.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    // semantics: every vector lands on its true argmax-cosine centroid
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = corpus.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    cells.collect().foreach { r =>
+      val (id, cell) = (r.getAs[Long]("id"), r.getAs[Long]("cell"))
+      val expected = cents.maxBy { case (_, cv) => cos(vecs(id), cv) }._1
+      assert(cell == expected, s"vec $id assigned $cell expected $expected")
+    }
+  }
+
+  test("capped operators report drop counters via observe (no silent caps)") {
+    import spark.implicits._
+    val docs = (0 until 30)
+      .map(i => (i.toLong, "identical boilerplate text shared by every document row"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.minhashLshPairs(docs, maxBucket = 4).count()
+    // QueryExecutionListener callbacks are delivered asynchronously
+    def poll(): Option[Long] =
+      graft.runtime.Observed.get("minhash_band_cap").map(_("dropped"))
+    val deadline = System.currentTimeMillis() + 10000
+    while (poll().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // 30 identical docs × 8 bands, cap 4 → 26 dropped per band = 208
+    assert(poll().contains(208L), s"observed=${poll()}")
+  }
+
   test("salted join equals unsalted join; salted count equals plain count") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i))

@@ -103,6 +103,27 @@ class ReasoningSpec extends SparkSpec {
     // qualified-for must be among them
     assert(all.where(col("relType") === "qualified-for").count() == 1)
   }
+
+  test("X10 resolveCircular drops exactly the weakest edge of each cycle") {
+    import spark.implicits._
+    import graft.graphout.GraphBuilder.Graph
+    import graft.model.{Entity, Triple}
+    def ent(id: String) = Entity(id, id, "Test", None, Map.empty, 0.9, "", "", "", "")
+    def rel(id: String, s: String, d: String, conf: Double) =
+      Triple(id, s, d, "", "", "is-a", None, false, 1.0, conf, "")
+    // two disjoint cycles + one acyclic chain edge:
+    //   a→b (0.9) → c (0.8) → a (0.7)   weakest = c→a
+    //   x→y (0.6) → x (0.95)            weakest = x→y
+    //   p→q (0.1)                       not on any cycle — must survive
+    val g = Graph(
+      Seq("a", "b", "c", "x", "y", "p", "q").map(ent).toDS(),
+      Seq(rel("ab", "a", "b", 0.9), rel("bc", "b", "c", 0.8), rel("ca", "c", "a", 0.7),
+        rel("xy", "x", "y", 0.6), rel("yx", "y", "x", 0.95),
+        rel("pq", "p", "q", 0.1)).toDS())
+    val kept = Reasoning.resolveCircular(g).collect().map(_.id).toSet
+    // round-1's per-flagged-node heuristic would also have dropped ab or bc
+    assert(kept == Set("ab", "bc", "yx", "pq"), kept.toString)
+  }
 }
 
 class VerifierSpec extends SparkSpec {
