@@ -52,40 +52,49 @@ object Bench {
     20000 * 4096 / ((System.nanoTime() - t0) / 1e9) / 1e6
   }
 
-  private def kgRun(spark: SparkSession, n: Long): (Double, Long) = {
+  /** Hypervisor steal ticks from /proc/stat — the OTHER host-state probe:
+    * this sandbox shows multi-minute steal episodes that slow identical
+    * runs up to 10x; per-round steal permille in the output lets the
+    * min-of-rounds choice be audited.
+    */
+  private def stealTicks(): (Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (cpu(7), cpu.sum)
+    } catch { case _: Throwable => (0L, 1L) }
+
+  private def kgRun(spark: SparkSession, n: Long): (Double, Long, Long) = {
+    val (s0, t0ticks) = stealTicks()
     val t0 = System.nanoTime()
     val res = pipeline.KgPipeline.runSynthetic(spark, n)
     val triples = res.tripleSet.count()
     val dt = (System.nanoTime() - t0) / 1e9
+    val (s1, t1ticks) = stealTicks()
     spark.catalog.clearCache()
-    (dt, triples)
+    (dt, triples, (s1 - s0) * 1000 / math.max(1, t1ticks - t0ticks))
   }
 
-  /** warmup + K timed rounds at one level in a fresh session. The warmup
-    * is HALF size: enough to drive JIT/codegen compilation without paying
-    * a second full run per level (round-1 overrun lesson).
+  /** One timed round at one level in a fresh session (JIT state is
+    * JVM-wide and survives session churn, so interleaved H/L rounds are
+    * equally warm — round-2 lesson: a per-level warmup leaves the FIRST
+    * level measured under-compiled and biases efficiency either way).
     */
-  private def level(cpus: Int, parts: Int, files: Long, rounds: Int): (Seq[(Double, Double)], Long) = {
+  private def timedRound(cpus: Int, parts: Int, files: Long): (Double, Double, Long, Long) = {
     val spark = session(cpus, parts)
-    kgRun(spark, (files / 2).max(1)) // discarded JIT/codegen warmup
-    var triples = 0L
-    val out = (1 to rounds).map { _ =>
-      val cal = calibrate()
-      val (dt, t) = kgRun(spark, files)
-      triples = t
-      (dt, cal)
-    }
+    val cal = calibrate()
+    val (dt, triples, steal) = kgRun(spark, files)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (out, triples)
+    (dt, cal, steal, triples)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "160000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_KG_ROUNDS", "1").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_KG_ROUNDS", "2").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "960").toInt
     // Scaling levels (BASELINE.md protocol, "subject to available cores"):
     // default N=2 vs 4N=8. This VM's memory subsystem saturates above
@@ -118,27 +127,40 @@ object Bench {
     watchdog.setDaemon(true)
     watchdog.start()
 
-    def arr(xs: Seq[(Double, Double)]): String =
-      xs.map { case (s, c) => f"""{"sec":$s%.2f,"calMBs":$c%.0f}""" }.mkString("[", ",", "]")
+    def arr(xs: Seq[(Double, Double, Long)]): String =
+      xs.map { case (s, c, st) =>
+        f"""{"sec":$s%.2f,"calMBs":$c%.0f,"stealPermille":$st}""" }.mkString("[", ",", "]")
     def assemble(kg: String, qs: Seq[(String, Double)], total: Double): String = {
       val q = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"sf":"$sfDir","kg":$kg}"""
     }
 
-    // ---- 1. the required signal: interleaved scaling (high, low)×rounds
-    val highRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val lowRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // ---- 1. the required signal: interleaved scaling (high, low)×rounds.
+    // JVM-wide JIT warmup FIRST (two half-size runs at the high level —
+    // C2 keeps compiling through the 2nd-3rd full run otherwise), then
+    // strictly interleaved H/L timed rounds so host-steal episodes hit
+    // both levels with equal probability; min-of-rounds per level.
+    val highRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+    val lowRounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
     var triples = 0L
     def partialKg(): String =
       s"""{"files":$kgFiles,"triples":$triples,""" +
       s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},"scaling":null}"""
+    locally {
+      val warm = session(high, parts)
+      kgRun(warm, (kgFiles / 2).max(1))
+      kgRun(warm, (kgFiles / 2).max(1))
+      warm.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
     (1 to rounds).foreach { _ =>
-      val (h, t1) = level(high, parts, kgFiles, 1)
-      highRounds ++= h; triples = t1
-      jsonRef.set(assemble(partialKg(), Nil, h.map(_._1).min))
-      val (l, _) = level(low, parts, kgFiles, 1)
-      lowRounds ++= l
-      jsonRef.set(assemble(partialKg(), Nil, h.map(_._1).min))
+      val (hd, hc, hs, t1) = timedRound(high, parts, kgFiles)
+      highRounds += ((hd, hc, hs)); triples = t1
+      jsonRef.set(assemble(partialKg(), Nil, hd))
+      val (ld, lc, ls, _) = timedRound(low, parts, kgFiles)
+      lowRounds += ((ld, lc, ls))
+      jsonRef.set(assemble(partialKg(), Nil, hd))
     }
     val tHigh = highRounds.map(_._1).min
     val tLow = lowRounds.map(_._1).min

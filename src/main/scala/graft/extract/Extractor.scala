@@ -163,4 +163,29 @@ object Extractor {
       val x = extractSegment(s); (x.entities, x.triples)
     })
   }
+
+  /** One combined extraction row per segment with per-row failure
+    * isolation — the Spark form of the reference's Result monad
+    * (src/utils/result.py:23-244; SURVEY §2.12): a row that throws emits
+    * an error record instead of killing its partition/task. `error` is
+    * null on success; the pipeline splits good rows from the error side
+    * output and counts both in stage manifests.
+    */
+  final case class Extracted(
+      segId: String, repo: String, path: String,
+      entities: Seq[Entity], triples: Seq[Triple], error: Option[String])
+
+  def extractCombinedSafe(segments: Dataset[Segment]): Dataset[Extracted] = {
+    import segments.sparkSession.implicits._
+    segments.mapPartitions(_.map { s =>
+      try {
+        val x = extractSegment(s)
+        Extracted(s.segId, s.repo, s.path, x.entities, x.triples, None)
+      } catch {
+        case e: Throwable =>
+          Extracted(s.segId, s.repo, s.path, Nil, Nil,
+            Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"))
+      }
+    })
+  }
 }

@@ -26,10 +26,17 @@ object GraphBuilder {
 
     val nodeIds = entities.select($"id").distinct()
 
-    // endpoint existence: two semi-joins (the inverse of verifier V2)
+    // endpoint existence: two semi-joins (the inverse of verifier V2).
+    // SHUFFLE_HASH, not broadcast: the node table is the one dimension
+    // that grows with the corpus (at 100 TB it can never broadcast), and
+    // a broadcast build here is a serial driver-side hash of every node —
+    // measured as the pipeline's worst-scaling stage at local[2]→[8]
+    // (3.1x). The shuffle-hash build parallelizes per partition.
     val valid = triples.toDF()
-      .join(nodeIds.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
-      .join(nodeIds.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
+      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "srcId"),
+        Seq("srcId"), "left_semi")
+      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "dstId"),
+        Seq("dstId"), "left_semi")
 
     // keep-max dedup per (srcId, relType, dstId): max_by(struct) aggregate
     // — a single hash aggregate with map-side partial combine; a window
@@ -85,10 +92,10 @@ object GraphBuilder {
     * `full = true` adds the expensive metrics the reference computes under
     * try/except (graph.py:503-509): average clustering coefficient
     * (triangle counting over the undirected simple graph — two self-joins,
-    * no adjacency materialization per node) and the connectivity flag
-    * (exactly one connected component). Average shortest path is
-    * intentionally omitted: exact APSP is quadratic at best and the
-    * reference itself only attempts it when connected on tiny graphs.
+    * no adjacency materialization per node), the connectivity flag
+    * (exactly one connected component), and — when connected, matching the
+    * reference's guard — the SAMPLED average shortest path length
+    * (multi-source BFS; exact when samples ≥ |V|).
     */
   def stats(g: Graph, full: Boolean = false): DataFrame = {
     val spark = g.nodes.sparkSession
@@ -102,11 +109,18 @@ object GraphBuilder {
       .select(concat(lit("rel:"), $"relType").as("key"), $"count".cast("double").as("value"))
     val extra =
       if (!full) Nil
-      else Seq(
-        ("avg_clustering", avgClusteringCoefficient(g)),
-        ("is_connected",
-          if (graft.query.GraphQueryOps.connectedComponents(g)
-            .select("comp").distinct().count() == 1) 1.0 else 0.0))
+      else {
+        val connected = graft.query.GraphQueryOps.connectedComponents(g)
+          .select("comp").distinct().count() == 1
+        Seq(
+          ("avg_clustering", avgClusteringCoefficient(g)),
+          ("is_connected", if (connected) 1.0 else 0.0)) ++
+          // reference computes avg path only when connected (graph.py:506-509)
+          (if (connected)
+            Seq(("avg_shortest_path",
+              graft.query.GraphQueryOps.avgShortestPathSampled(g)))
+          else Nil)
+      }
     val scalars = (Seq(("nodes", n), ("edges", e), ("density", density)) ++ extra)
       .toDF("key", "value")
     scalars.union(byEType).union(byRType)

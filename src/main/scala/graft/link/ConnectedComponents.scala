@@ -77,8 +77,13 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val nEdges = e.count()
-    if (nEdges <= DriverThreshold) return unionFindLocal(e)
+    // single probe job decides the path AND fetches the data for the
+    // driver fast path (a separate count() + collect() pair costs one
+    // extra full scan of fixed job latency — serial cost on every run)
+    val taken = e.head(DriverThreshold.toInt + 1)
+    if (taken.length <= DriverThreshold)
+      return unionFindLocal(e.sparkSession,
+        taken.map(r => (r.getString(0), r.getString(1))))
     var sig = signature(e)
     var iter = 0
     var converged = e.isEmpty
@@ -101,10 +106,9 @@ object ConnectedComponents {
     * union-by-rank; component label = min member id to match the
     * distributed algorithm exactly).
     */
-  private def unionFindLocal(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+                             pairs: Array[(String, String)]): DataFrame = {
     import spark.implicits._
-    val pairs = e.as[(String, String)].collect()
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x: String): String = {
       var r = x

@@ -44,15 +44,23 @@ object CheckpointedPipeline {
     // ONE pass of the regex bank over the corpus (round-1 ran it twice —
     // once per derived stage): the combined extraction is committed as
     // nested arrays, and the mention/triple tables are cheap explodes of
-    // that parquet, never re-running extraction.
+    // that parquet, never re-running extraction. Per-row failures land in
+    // the error side-output stage (Result-monad mapping, SURVEY §2.12) —
+    // its manifest rows counter IS the failure metric for the run.
     val extracted = cp.runStage("02_extracted", Seq("01_segments")) {
-      Extractor.extractCombined(segments.as[Segment]).toDF("entities", "triples")
+      Extractor.extractCombinedSafe(segments.as[Segment]).toDF()
+    }
+    cp.runStage("02_errors", Seq("02_extracted")) {
+      extracted.where(col("error").isNotNull)
+        .select(col("segId"), col("repo"), col("path"), col("error"))
     }
     val mentions = cp.runStage("02_mentions", Seq("02_extracted")) {
-      extracted.select(explode(col("entities")).as("e")).select("e.*")
+      extracted.where(col("error").isNull)
+        .select(explode(col("entities")).as("e")).select("e.*")
     }
     val triples = cp.runStage("03_triples", Seq("02_extracted")) {
-      extracted.select(explode(col("triples")).as("t")).select("t.*")
+      extracted.where(col("error").isNull)
+        .select(explode(col("triples")).as("t")).select("t.*")
     }
 
     val canonical = cp.runStage("04_canonical_mentions", Seq("02_mentions")) {
@@ -79,9 +87,12 @@ object CheckpointedPipeline {
     }
 
     cp.runStage("08_triple_set", Seq("05_nodes", "07_edges")) {
+      // shuffle_hash: node dim grows with the corpus — see KgPipeline
       edges
-        .join(nodes.select(col("id").as("srcId"), col("name").as("subjName")), Seq("srcId"))
-        .join(nodes.select(col("id").as("dstId"), col("name").as("objName")), Seq("dstId"))
+        .join(nodes.select(col("id").as("srcId"), col("name").as("subjName"))
+          .hint("shuffle_hash"), Seq("srcId"))
+        .join(nodes.select(col("id").as("dstId"), col("name").as("objName"))
+          .hint("shuffle_hash"), Seq("dstId"))
         .select(col("subjName"), col("relType"), col("objName"))
         .distinct()
     }

@@ -70,9 +70,14 @@ object KgPipeline {
         g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+    // name attachment via SHUFFLE_HASH: the node dim grows with the
+    // corpus (never broadcast-able at 100 TB) and a broadcast build is
+    // serial on the driver — the hint keeps the hash build parallel
     val tripleSet = graph.edges.toDF()
-      .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName")), Seq("srcId"))
-      .join(graph.nodes.toDF().select($"id".as("dstId"), $"name".as("objName")), Seq("dstId"))
+      .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName"))
+        .hint("shuffle_hash"), Seq("srcId"))
+      .join(graph.nodes.toDF().select($"id".as("dstId"), $"name".as("objName"))
+        .hint("shuffle_hash"), Seq("dstId"))
       .select($"subjName", $"relType", $"objName")
       .distinct()
 

@@ -344,8 +344,161 @@ object GraphQueryOps {
     x
   }
 
+  /** Deterministic source sample for the sampled centralities: the s node
+    * ids with the smallest xxhash64 (stable across runs and parallelism).
+    * When s ≥ |V| the sample is every node and the estimates are EXACT.
+    */
+  private def sampleSources(g: Graph, s: Int): DataFrame =
+    g.nodes.toDF().select(col("id"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(s)
+
+  /** Multi-source lockstep BFS: for every sampled source, (src, id, dist,
+    * sigma = #shortest paths from src to id), one frontier join per depth.
+    * Directed, unit edge weights.
+    * @return (settledAllDepths, perDepthLevels) — levels are needed by the
+    *         Brandes backward pass.
+    */
+  private def multiSourceBfs(g: Graph, sources: DataFrame, maxDepth: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val edges = g.edges.toDF().select($"srcId".as("from"), $"dstId".as("to"))
+      .distinct().localCheckpoint(true)
+    var frontier = sources.select($"id".as("src"), $"id", lit(0).as("dist"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    var settled = frontier
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      val next = frontier
+        .join(edges.withColumnRenamed("from", "id"), Seq("id"))
+        .groupBy($"src", $"to".as("id"))
+        .agg(sum($"sigma").as("sigma"))
+        .join(settled.select($"src", $"id"), Seq("src", "id"), "left_anti")
+        .select($"src", $"id", lit(d + 1).as("dist"), $"sigma")
+        .localCheckpoint(true)
+      if (!next.isEmpty) {
+        settled = settled.union(next)
+        levels += next
+      }
+      frontier = next
+      d += 1
+    }
+    (settled.localCheckpoint(true), levels.toSeq)
+  }
+
+  /** Q9 closeness centrality (incoming distances, networkx semantics) via
+    * the Eppstein–Wang sampled estimator: s sampled sources, one BFS
+    * frontier join per depth for ALL sources at once;
+    * Ĉ(v) = r_v·(n−1) / (n·Σ_{s∈S} d(s,v)) with r_v = samples reaching v.
+    * EXACT when samples ≥ |V| (the estimator reduces to Wasserman–Faust
+    * closeness). The reference's nx.closeness_centrality is all-pairs —
+    * quadratic and impossible at 10^12; sampling is the scale path.
+    */
+  def closenessCentrality(g: Graph, samples: Int = 64, maxDepth: Int = 10): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val n = g.nodes.count().toDouble
+    val sources = sampleSources(g, samples)
+    val sCount = sources.count().toDouble
+    val (settled, _) = multiSourceBfs(g, sources, maxDepth)
+    // Wasserman–Faust closeness under source sampling: with r_v sampled
+    // reachers (dist>0) and inflation f = n/s, the estimated reacher
+    // count is r·f and the estimated distance sum Σ·f, so
+    //   Ĉ(v) = (r·f)/(n−1) · (r·f)/(Σ·f) = r²·f / ((n−1)·Σ)
+    // — identical to networkx's wf_improved closeness when s = |V|.
+    val f = n / sCount
+    g.nodes.toDF().select($"id")
+      .join(settled.where($"dist" > 0).groupBy($"id")
+        .agg(sum($"dist").as("sumDist"), count(lit(1)).as("reached")),
+        Seq("id"), "left")
+      .select($"id",
+        when($"sumDist" > 0,
+          ($"reached" * $"reached" * f) / (lit(n - 1) * $"sumDist"))
+          .otherwise(0.0).as("closeness"))
+  }
+
+  /** G4 average shortest path length, sampled (reference graph.py:503-509
+    * computes nx.average_shortest_path_length on the undirected view of
+    * connected graphs only — exact APSP, quadratic). Sampled multi-source
+    * BFS on the symmetrized edges: Σd / #reachable-pairs over s sampled
+    * sources; EXACT (= nx) when samples ≥ |V| and the graph is connected.
+    */
+  def avgShortestPathSampled(g: Graph, samples: Int = 32, maxDepth: Int = 15): Double = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val dir = g.edges.toDF().select($"srcId", $"dstId")
+    val und = dir.union(dir.select($"dstId".as("srcId"), $"srcId".as("dstId")))
+    val undG = Graph(g.nodes, und
+      .withColumn("id", concat($"srcId", lit("~"), $"dstId"))
+      .withColumn("srcName", lit("")).withColumn("dstName", lit(""))
+      .withColumn("relType", lit("und"))
+      .withColumn("context", lit(null).cast("string"))
+      .withColumn("bidirectional", lit(false))
+      .withColumn("strength", lit(1.0)).withColumn("confidence", lit(1.0))
+      .withColumn("segId", lit(""))
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .as[Triple])
+    val (settled, _) = multiSourceBfs(undG, sampleSources(g, samples), maxDepth)
+    val row = settled.where($"dist" > 0)
+      .agg(coalesce(sum($"dist"), lit(0L)).as("s"), count(lit(1)).as("c")).head()
+    if (row.getLong(1) == 0) 0.0 else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** Q9 betweenness centrality via sampled Brandes (Bader–Madduri style):
+    * forward multi-source BFS keeps per-source σ path counts, then the
+    * backward dependency accumulation δ(v) = Σ_{w∈succ} σv/σw·(1+δw) runs
+    * one join per depth level from the deepest frontier back. Scores are
+    * scaled by n/s so the expectation matches exact Brandes; EXACT when
+    * samples ≥ |V|. Directed, endpoints excluded (networkx defaults).
+    */
+  def betweennessCentrality(g: Graph, samples: Int = 32, maxDepth: Int = 10,
+                            normalized: Boolean = true): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val n = g.nodes.count().toDouble
+    val sources = sampleSources(g, samples)
+    val sCount = sources.count().toDouble
+    val (_, levels) = multiSourceBfs(g, sources, maxDepth)
+    val edges = g.edges.toDF().select($"srcId".as("from"), $"dstId".as("to"))
+      .distinct().localCheckpoint(true)
+
+    // backward accumulation, deepest level first: δ of depth d+1 is final
+    // before depth d consumes it (one join per level, all sources at once)
+    var delta = levels.last.select($"src", $"id", lit(0.0).as("delta"))
+    var acc = delta
+    var d = levels.size - 2
+    while (d >= 0) {
+      val succSigma = levels(d + 1).select($"src", $"id".as("to"), $"sigma".as("sigmaW"))
+      val succ = succSigma.join(
+        delta.select($"src", $"id".as("to"), $"delta".as("deltaW")), Seq("src", "to"))
+      val contrib = levels(d)
+        .join(edges.withColumnRenamed("from", "id"), Seq("id"))
+        .join(succ, Seq("src", "to"))
+        .groupBy($"src", $"id")
+        .agg(sum(($"sigma" / $"sigmaW") * (lit(1.0) + $"deltaW")).as("delta"))
+      val lvlDelta = levels(d).select($"src", $"id")
+        .join(contrib, Seq("src", "id"), "left")
+        .select($"src", $"id", coalesce($"delta", lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.union(lvlDelta)
+      delta = lvlDelta
+      d -= 1
+    }
+    val scale =
+      if (!normalized) n / sCount
+      else if (n > 2) (n / sCount) / ((n - 1) * (n - 2))
+      else 1.0
+    // a node's dependency from its own BFS tree is excluded (Brandes)
+    val raw = acc.where($"id" =!= $"src")
+      .groupBy($"id").agg(sum($"delta").as("rawDelta"))
+    g.nodes.toDF().select($"id")
+      .join(raw, Seq("id"), "left")
+      .select($"id", (coalesce($"rawDelta", lit(0.0)) * scale).as("betweenness"))
+  }
+
   /** Q9 top-k by a named centrality metric (graph_query.py:436-489):
-    * degree | pagerank | eigenvector.
+    * degree | pagerank | eigenvector | closeness | betweenness.
     */
   def topKByMetric(g: Graph, metric: String, k: Int = 10): DataFrame = metric match {
     case "degree" => topKByDegree(g, k)
@@ -353,7 +506,36 @@ object GraphQueryOps {
       pagerank(g).orderBy(desc("rank"), asc("id")).limit(k)
     case "eigenvector" =>
       eigenvectorCentrality(g).orderBy(desc("score"), asc("id")).limit(k)
+    case "closeness" =>
+      closenessCentrality(g).orderBy(desc("closeness"), asc("id")).limit(k)
+    case "betweenness" =>
+      betweennessCentrality(g).orderBy(desc("betweenness"), asc("id")).limit(k)
     case other => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
+  /** Display filter (reference filter_visualization,
+    * graph_visualizer.py:230-302): keep selected entity types / relation
+    * types / min-confidence, dropping edges whose endpoints fall out.
+    * Semantically a composition of Q1/Q2/Q7 predicates — provided as the
+    * one-call surface the visualizer exposes.
+    */
+  def filterVisualization(g: Graph,
+                          entityTypes: Option[Seq[String]] = None,
+                          relTypes: Option[Seq[String]] = None,
+                          minConfidence: Option[Double] = None): Graph = {
+    import g.nodes.sparkSession.implicits._
+    var nodes = g.nodes
+    entityTypes.foreach(ts => nodes = nodes.where(col("entityType").isin(ts: _*)))
+    minConfidence.foreach(c => nodes = nodes.where(col("confidence") >= c))
+    var edges = g.edges
+    relTypes.foreach(ts => edges = edges.where(col("relType").isin(ts: _*)))
+    minConfidence.foreach(c => edges = edges.where(col("confidence") >= c))
+    val ids = nodes.select(col("id")).distinct()
+    val kept = edges.toDF()
+      .join(ids.withColumnRenamed("id", "srcId"), Seq("srcId"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dstId"), Seq("dstId"), "left_semi")
+      .as[Triple]
+    Graph(nodes, kept)
   }
 
   /** Q10 relationships between a pair / touching an entity (graph.py:218-281). */

@@ -53,6 +53,11 @@ object Observed {
 
   def get(name: String): Option[Map[String, Long]] = Option(values.get(name))
 
+  /** Drop a stored observation (tests: isolate from earlier queries that
+    * reported under the same name).
+    */
+  def clear(name: String): Unit = values.remove(name)
+
   def snapshot(): Map[String, Map[String, Long]] = {
     import scala.jdk.CollectionConverters._
     values.asScala.toMap

@@ -26,7 +26,10 @@ object Sessions {
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
         else System.getProperty("java.io.tmpdir"))
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true")) // A/B knob: AQE query-stage
+      // barriers add driver-serial replan latency per exchange; production
+      // keeps AQE on (skew mandate) — the knob exists to quantify the cost
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // keep reduce-side parallelism pinned to the core count: without
       // this AQE coalesces small-data shuffles to a handful of 64MB-target

@@ -17,7 +17,9 @@ class CheckpointSpec extends SparkSpec {
     // every stage committed with a manifest carrying rows + lineage
     val cp = new graft.runtime.Checkpoint(spark, root)
     val manifests = cp.manifests()
-    assert(manifests.size == 10, s"expected 10 stage manifests, got ${manifests.size}")
+    assert(manifests.size == 11, s"expected 11 stage manifests, got ${manifests.size}")
+    // error side-output stage committed with zero failures on this corpus
+    assert(manifests.exists(m => m.contains("\"02_errors\"") && m.contains("\"rows\":0")))
     assert(manifests.forall(_.contains("\"rows\":")))
     assert(manifests.exists(m => m.contains("08_triple_set") && m.contains("07_edges")))
     // single-pass extraction: mentions/triples derive from 02_extracted

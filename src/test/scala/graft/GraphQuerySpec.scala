@@ -70,12 +70,67 @@ class GraphQuerySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(stats("is_connected") == 1.0)
     assert(math.abs(stats("avg_clustering") - 7.0 / 15.0) < 1e-9)
+    // undirected pair distances: ab1 ac1 bc1 ad2 bd2 cd1 ae3 be3 ce2 de1
+    // → Σ(ordered)=2·17=34, pairs=20 → 1.7
+    assert(math.abs(stats("avg_shortest_path") - 1.7) < 1e-9, stats.toString)
     // disconnect: drop the bridge edge c-d → two components
     val g2 = graft.graphout.GraphBuilder.Graph(
       g.nodes, g.edges.where($"id" =!= "4"))
     val stats2 = graft.graphout.GraphBuilder.stats(g2, full = true)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(stats2("is_connected") == 0.0)
+  }
+
+  test("filter_visualization: entity-type/rel-type/confidence display filters (graph_visualizer.py:230-302)") {
+    val f1 = GraphQueryOps.filterVisualization(g, entityTypes = Some(Seq("person", "organization")))
+    assert(f1.nodes.collect().map(_.entityType).toSet == Set("person", "organization"))
+    // works_at edges survive (both endpoints kept); lives_in drops (city gone)
+    val kept = f1.edges.collect().map(_.relType).toSet
+    assert(kept.contains("works_at") && !kept.contains("lives_in"))
+    val f2 = GraphQueryOps.filterVisualization(g, relTypes = Some(Seq("works_at")))
+    assert(f2.edges.collect().forall(_.relType == "works_at"))
+    assert(f2.nodes.count() == g.nodes.count())
+    val f3 = GraphQueryOps.filterVisualization(g, minConfidence = Some(0.95))
+    assert(f3.edges.count() == 0)
+  }
+
+  test("closeness/betweenness centrality: exact (samples ≥ |V|) matches hand-computed nx values") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
+    def rel(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    // directed 4-cycle: every node closeness (incoming) = 3/6 = 0.5,
+    // normalized betweenness = 3/((4-1)(4-2)) = 0.5
+    val cyc = graft.graphout.GraphBuilder.Graph(
+      Seq("a", "b", "c", "d").map(ent).toDS(),
+      Seq(rel("1", "a", "b"), rel("2", "b", "c"),
+        rel("3", "c", "d"), rel("4", "d", "a")).toDS())
+    val cl = GraphQueryOps.closenessCentrality(cyc, samples = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cl.values.forall(v => math.abs(v - 0.5) < 1e-9), cl.toString)
+    val bc = GraphQueryOps.betweennessCentrality(cyc, samples = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bc.values.forall(v => math.abs(v - 0.5) < 1e-9), bc.toString)
+
+    // directed path a→b→c→d (nx wf_improved closeness, normalized bc):
+    //   closeness: a=0, b=1/3, c=(2²)/(3·3)=4/9, d=(3²)/(3·6)=0.5
+    //   betweenness: b and c each on 2 of the (s,t) paths → 2/6 = 1/3
+    val path = graft.graphout.GraphBuilder.Graph(
+      Seq("a", "b", "c", "d").map(ent).toDS(),
+      Seq(rel("1", "a", "b"), rel("2", "b", "c"), rel("3", "c", "d")).toDS())
+    val cl2 = GraphQueryOps.closenessCentrality(path, samples = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cl2("a") - 0.0) < 1e-9 && math.abs(cl2("b") - 1.0 / 3) < 1e-9 &&
+      math.abs(cl2("c") - 4.0 / 9) < 1e-9 && math.abs(cl2("d") - 0.5) < 1e-9, cl2.toString)
+    val bc2 = GraphQueryOps.betweennessCentrality(path, samples = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bc2("a")) < 1e-9 && math.abs(bc2("d")) < 1e-9 &&
+      math.abs(bc2("b") - 1.0 / 3) < 1e-9 && math.abs(bc2("c") - 1.0 / 3) < 1e-9, bc2.toString)
+
+    // topKByMetric dispatch covers the new metrics
+    assert(GraphQueryOps.topKByMetric(cyc, "closeness", 2).count() == 2)
+    assert(GraphQueryOps.topKByMetric(cyc, "betweenness", 2).count() == 2)
   }
 
   test("traverse picks a deterministic parent on multi-parent ties") {

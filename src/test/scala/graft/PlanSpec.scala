@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
     val docs = (0 until 30)
       .map(i => (i.toLong, "identical boilerplate text shared by every document row"))
       .toDF("doc_id", "text")
+    graft.runtime.Observed.clear("minhash_band_cap") // earlier suites also report here
     graft.ops.Dedup.minhashLshPairs(docs, maxBucket = 4).count()
     // QueryExecutionListener callbacks are delivered asynchronously
     def poll(): Option[Long] =
