@@ -131,21 +131,48 @@ object Linker {
     LinkResult(merged, rewrite)
   }
 
-  /** C5 edge redirection: re-point both endpoints through the rewrite map
-    * (broadcast — the map only holds linked ids at production scale we'd
-    * filter to non-identity rows first), then collapse duplicates keeping
-    * max confidence.
+  /** Rewrite maps up to this many rows broadcast (≈100-char rows → low
+    * hundreds of MB worst case, inside the raised 64MB-per-side local
+    * threshold after compression at typical alias rates); bigger maps —
+    * alias storms at web scale — fall back to SALTED shuffle joins, since
+    * canonical targets of giant alias families are exactly the celebrity
+    * hot keys AQE skew-splitting may miss on the probe side.
     */
-  def redirectEdges(triples: Dataset[Triple], rewrite: DataFrame): Dataset[Triple] = {
+  val BroadcastRewriteLimit: Long =
+    sys.env.get("GRAFT_REWRITE_BCAST_LIMIT").map(_.toLong).getOrElse(2000000L)
+
+  /** C5 edge redirection: re-point both endpoints through the rewrite map
+    * (broadcast when small; salted shuffle join beyond
+    * [[BroadcastRewriteLimit]]), then duplicates collapse downstream
+    * keeping max confidence.
+    */
+  def redirectEdges(triples: Dataset[Triple], rewrite: DataFrame,
+                    broadcastLimit: Long = BroadcastRewriteLimit): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    // only non-identity rewrites matter — keep the broadcast side minimal
+    // only non-identity rewrites matter — keep the join side minimal
     val rw = rewrite.where(col("id") =!= col("canonicalId"))
-    val srcMap = broadcast(rw.select(col("id").as("_sid"), col("canonicalId").as("_scan")))
-    val dstMap = broadcast(rw.select(col("id").as("_did"), col("canonicalId").as("_dcan")))
-    triples.toDF()
-      .join(srcMap, col("srcId") === col("_sid"), "left")
-      .join(dstMap, col("dstId") === col("_did"), "left")
+    val big = rw.count() > broadcastLimit
+    val redirected =
+      if (!big) {
+        val srcMap = broadcast(rw.select(col("id").as("_sid"), col("canonicalId").as("_scan")))
+        val dstMap = broadcast(rw.select(col("id").as("_did"), col("canonicalId").as("_dcan")))
+        triples.toDF()
+          .join(srcMap, col("srcId") === col("_sid"), "left")
+          .join(dstMap, col("dstId") === col("_did"), "left")
+      } else {
+        // salted left joins: edge side salted by its unique triple id,
+        // map side exploded — hot canonical ids spread over NSalt reducers
+        val srcSalted = graft.runtime.Skew.saltedJoin(
+          triples.toDF().withColumn("_sid", col("srcId")),
+          rw.select(col("id").as("_sid"), col("canonicalId").as("_scan")),
+          Seq("_sid"), uniqueCol = "id", nSalts = 16, joinType = "left")
+        graft.runtime.Skew.saltedJoin(
+          srcSalted.withColumn("_did", col("dstId")),
+          rw.select(col("id").as("_did"), col("canonicalId").as("_dcan")),
+          Seq("_did"), uniqueCol = "id", nSalts = 16, joinType = "left")
+      }
+    redirected
       .withColumn("srcId", coalesce(col("_scan"), col("srcId")))
       .withColumn("dstId", coalesce(col("_dcan"), col("dstId")))
       .drop("_sid", "_scan", "_did", "_dcan")

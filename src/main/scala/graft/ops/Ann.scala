@@ -89,14 +89,34 @@ object Ann {
       .select(col("id"), col("v"), best.getField("cell").as("cell"))
   }
 
+  /** One Lloyd (k-means) refinement pass: re-center each cell on the mean
+    * of its assigned vectors. Relational form: posexplode the vectors into
+    * (cell, pos, x) rows, average per (cell, pos), fold back into an
+    * ordered array — two shuffles keyed by (cell, pos) / cell, standard
+    * SQL k-means, no per-node adjacency in memory. Cells that attracted
+    * no vectors disappear (their mass was captured by neighbors).
+    */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame,
+                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cells = assignCells(corpus, centroids, vecCol, idCol)
+    cells.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy(col("cell").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+  }
+
   /** IVF query: probe the nProbe nearest cells only. Returns same schema
     * as bruteForceTopK; recall < 1 by construction (the scale/recall
     * trade).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, c: Int = 16, nProbe: Int = 4,
               k: Int = 10, vecCol: String = "embedding", idCol: String = "vec_id",
-              qIdCol: String = "q_id"): DataFrame = {
-    val centroids = seedCentroids(corpus, c, vecCol, idCol).localCheckpoint(true)
+              qIdCol: String = "q_id", lloydIters: Int = 0): DataFrame = {
+    var centroids = seedCentroids(corpus, c, vecCol, idCol).localCheckpoint(true)
+    (0 until lloydIters).foreach { _ =>
+      centroids = refineCentroids(corpus, centroids, vecCol, idCol).localCheckpoint(true)
+    }
     val cells = assignCells(corpus, centroids, vecCol, idCol)
     val q = queries.select(col(qIdCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     // nProbe nearest cells per query

@@ -136,6 +136,21 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.8, s"IVF recall $recall")
+
+    // one Lloyd refinement pass must not hurt recall on well-separated
+    // clusters (re-centered cells align with the true cluster means)
+    val ivf2 = Ann.ivfTopK(emb, queries, c = 8, nProbe = 4, k = 5, lloydIters = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (bf intersect ivf2).size.toDouble / bf.size
+    assert(recall2 >= recall, s"Lloyd recall $recall2 < $recall")
+
+    // refined centroids sit at the coordinate means of their cells
+    val seeds = Ann.seedCentroids(emb, 8)
+    val refined = Ann.refineCentroids(emb, seeds)
+    assert(refined.count() <= 8 && refined.count() > 0)
+    val dims = refined.select(org.apache.spark.sql.functions.size(col("cv")))
+      .collect().map(_.getInt(0)).toSet
+    assert(dims == Set(16), dims.toString)
   }
 }
 

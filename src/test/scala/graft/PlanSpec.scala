@@ -131,6 +131,23 @@ class PlanSpec extends SparkSpec {
     assert(poll().contains(208L), s"observed=${poll()}")
   }
 
+  test("edge redirect: salted fallback path ≡ broadcast path") {
+    import spark.implicits._
+    import graft.model.Triple
+    def tr(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    val triples = ((1 to 200).map(i => tr(s"t$i", s"alias${i % 7}", s"e$i")) :+
+      tr("tx", "keep", "alias3")).toDS()
+    val rewrite = (0 until 7).map(i => (s"alias$i", "canon")).toDF("id", "canonicalId")
+    val viaBroadcast = graft.link.Linker.redirectEdges(triples, rewrite)
+      .collect().map(t => (t.id, t.srcId, t.dstId)).toSet
+    val viaSalted = graft.link.Linker.redirectEdges(triples, rewrite, broadcastLimit = 0)
+      .collect().map(t => (t.id, t.srcId, t.dstId)).toSet
+    assert(viaSalted == viaBroadcast)
+    assert(viaBroadcast.forall { case (_, s, d) => !s.startsWith("alias") && !d.startsWith("alias") })
+    assert(viaBroadcast.contains(("tx", "keep", "canon")))
+  }
+
   test("salted join equals unsalted join; salted count equals plain count") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i))

@@ -27,4 +27,38 @@ class StreamingSpec extends SparkSpec {
       .tripleSet.as[(String, String, String)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("stateful streaming sessionization: gap closes on arrival, watermark timeout closes the tail") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StreamingSessions.sessionize(source.toDS(), gapMinutes = 30,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // user 1: two events 10 min apart (one session), then a 2h-later event
+    // → the gap closes session 1 on arrival
+    source.addData(Event(1, ts(0), 1.0), Event(1, ts(10), 2.0))
+    q.processAllAvailable()
+    source.addData(Event(1, ts(130), 5.0))
+    q.processAllAvailable()
+    // a much later event for ANOTHER user advances the watermark past
+    // session 2's timeout → event-time timeout closes it
+    source.addData(Event(2, ts(1000), 7.0))
+    q.processAllAvailable()
+    source.addData(Event(2, ts(2000), 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_out").as[Session].collect()
+      .map(s => (s.userId, s.sessionStart.getTime, s.nEvents, s.totalValue)).toSet
+    assert(got.contains((1L, ts(0).getTime, 2L, 3.0)), got.toString) // gap-closed
+    assert(got.contains((1L, ts(130).getTime, 1L, 5.0)), got.toString) // timeout-closed
+  }
 }
