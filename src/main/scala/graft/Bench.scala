@@ -130,9 +130,16 @@ object Bench {
     def arr(xs: Seq[(Double, Double, Long)]): String =
       xs.map { case (s, c, st) =>
         f"""{"sec":$s%.2f,"calMBs":$c%.0f,"stealPermille":$st}""" }.mkString("[", ",", "]")
+    // every catalog entry is accounted for: timed in "queries" or named in
+    // "skipped" (budget-expired before its turn) — absence was silent in
+    // round 2 (the bench's own no-silent-caps rule applied to itself)
+    val allQueryNames = SparkEntry.queries.keys.toSeq.sorted
     def assemble(kg: String, qs: Seq[(String, Double)], total: Double): String = {
       val q = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"sf":"$sfDir","kg":$kg}"""
+      val done = qs.map(_._1).toSet
+      val skipped = allQueryNames.filterNot(done)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
     }
 
     // ---- 1. the required signal: interleaved scaling (high, low)×rounds.

@@ -1,0 +1,56 @@
+package graft.corpus
+
+import graft.model.CodeFile
+
+/**
+ * INDEPENDENT closed-form oracle for the synthetic corpus's triple set:
+ * a plain line-based scan with no shared code with the extractor's regex
+ * bank (graft.extract.Extractor), so a regression in the segmenter
+ * (window boundaries dropping facts) or the extractor (pattern drift)
+ * diverges from this set. Used by the P/R test harness (PRHarnessSpec)
+ * AND by the kg_tripleset driver entry, which asserts P/R ≥ 0.95 in-run —
+ * the rows-only driver check carries a self-verifying invariant
+ * (round-2 verdict item 9).
+ */
+object ClosedFormTriples {
+
+  /** Independent fact extraction for one generated file: line scans only. */
+  def expectedTriples(f: CodeFile): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    for (raw <- f.content.split("\n")) {
+      val line = raw
+      val trimmed = line.trim
+      if (line.startsWith("import ")) {
+        out += ((f.path, "imports", line.stripPrefix("import ").trim))
+      } else if (trimmed.startsWith("class ") && trimmed.contains(" extends ")) {
+        val rest = trimmed.stripPrefix("class ")
+        val cls = rest.takeWhile(_.isLetterOrDigit)
+        val sup = rest.split(" extends ")(1).takeWhile(c => c.isLetterOrDigit || c == '_')
+        out += ((cls, "is-a", sup))
+        out += ((f.path, "declares", cls))
+      } else if (trimmed.startsWith("def ") && trimmed.contains("(")) {
+        val fn = trimmed.stripPrefix("def ").takeWhile(c => c.isLetterOrDigit || c == '_')
+        out += ((f.path, "defines", fn))
+      } else if (trimmed.startsWith("// rel: ")) {
+        val parts = trimmed.stripPrefix("// rel: ").split("\\s+")
+        if (parts.length == 3) out += ((parts(0), parts(1), parts(2)))
+      } else if (line.startsWith(" ") && trimmed.nonEmpty && trimmed.head.isLetter &&
+        !trimmed.startsWith("def ") && !trimmed.startsWith("class ")) {
+        // call site: indented `name(args...)`
+        val name = trimmed.takeWhile(c => c.isLetterOrDigit || c == '_')
+        if (name.nonEmpty && trimmed.drop(name.length).startsWith("(")) {
+          out += ((f.path, "calls", name))
+        }
+      }
+    }
+    out.toSeq.distinct
+  }
+
+  /** The full expected (subj, pred, obj) set for an n-file corpus, using
+    * the same seed/nRepos derivation as [[CorpusGen.generate]].
+    */
+  def expectedSet(n: Long, seed: Long = 42L): Set[(String, String, String)] = {
+    val nRepos = math.max(8, math.sqrt(n.toDouble).toInt)
+    (0L until n).flatMap(i => expectedTriples(CorpusGen.genFile(seed, i, nRepos))).toSet
+  }
+}

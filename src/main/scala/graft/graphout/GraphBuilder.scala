@@ -131,18 +131,40 @@ object GraphBuilder {
     * c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), averaged over ALL nodes with
     * c(v)=0 when deg<2. Triangles per node via a wedge join: for each
     * wedge a−v−b (a<b) check edge a−b; every hit is one triangle at v.
+    *
+    * Scale guard (round-2 verdict item 5): the wedge join is O(Σ deg²) —
+    * a celebrity vertex with 10⁶ neighbors alone yields 10¹² wedges. Each
+    * center's neighbor list is therefore sampled down to `maxDegree`
+    * (deterministic pseudo-random order by xxhash64, so the sample is
+    * unbiased w.r.t. id structure), with the sampled-away adjacency rows
+    * counted via observe. For a capped center the estimate is the
+    * clustering coefficient OF THE SAMPLED NEIGHBORHOOD — the standard
+    * neighborhood-sampling estimator; EXACT whenever deg(v) ≤ maxDegree
+    * (every node of the small-graph parity tests).
     */
-  def avgClusteringCoefficient(g: Graph): Double = {
+  def avgClusteringCoefficient(g: Graph, maxDegree: Int = 256): Double = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val dir = g.edges.toDF().select($"srcId".as("a"), $"dstId".as("b"))
       .where($"a" =!= $"b")
     val und = dir.union(dir.select($"b".as("a"), $"a".as("b"))).distinct()
       .localCheckpoint(true)
-    val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+    graft.runtime.Observed.install(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(xxhash64($"x"), $"x")
+    val adj = und.select($"a".as("v"), $"b".as("x"))
+      .withColumn("rn", row_number().over(w))
+      .observe(graft.runtime.Observed.name("clustering_deg_cap"),
+        sum(when($"rn" > maxDegree, 1L).otherwise(0L)).as("dropped"))
+      .where($"rn" <= maxDegree)
+      .drop("rn")
+      .localCheckpoint(true) // read three times below
+    // sampled degree k(v) = min(deg, maxDegree); the estimator divides by
+    // k·(k−1), not deg·(deg−1), so capped centers stay unbiased
+    val deg = adj.groupBy($"v".as("id")).agg(count(lit(1)).as("deg"))
     // wedges centered at v: (v, x) ⋈ (v, y), x < y; triangle iff und(x, y)
-    val wedges = und.select($"a".as("v"), $"b".as("x"))
-      .join(und.select($"a".as("v"), $"b".as("y")), Seq("v"))
+    val wedges = adj
+      .join(adj.select($"v", $"x".as("y")), Seq("v"))
       .where($"x" < $"y")
     val tri = wedges
       .join(und.select($"a".as("x"), $"b".as("y")), Seq("x", "y"), "left_semi")

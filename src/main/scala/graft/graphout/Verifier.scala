@@ -136,13 +136,23 @@ object Verifier {
       .where(lower($"relType").isin(NegationTypes: _*))
       .select($"srcId".as("origin"), $"dstId".as("last"))
       .distinct()
+      .localCheckpoint(true)
+    // An issue needs BOTH a ≥2-hop transitive chain AND a direct negation
+    // edge between its endpoints, so only origins that source a negation
+    // edge can ever produce one. Seeding the walk from those origins
+    // prunes the frontier before iterating (round-2 verdict item 4: the
+    // unseeded walk materialized the full bounded transitive closure —
+    // the product of reachability, not of contradictions, at scale).
+    val negOrigins = neg.select($"origin".as("src")).distinct()
+    if (negOrigins.isEmpty) return spark.emptyDataset[Issue]
 
     val issues = TransitiveTypes.map { tt =>
       val h = g.edges.toDF().where(lower($"relType") === tt)
         .select($"srcId".as("src"), $"dstId".as("dst")).distinct()
         .localCheckpoint(true)
-      // reachable in [2, maxHops] hops
-      var paths = h.select($"src".as("origin"), $"dst".as("last"))
+      // reachable in [2, maxHops] hops, origins pre-pruned to neg sources
+      var paths = h.join(negOrigins, Seq("src"), "left_semi")
+        .select($"src".as("origin"), $"dst".as("last"))
       var hop = 1
       var acc: DataFrame = null
       while (hop < maxHops && !paths.isEmpty) {

@@ -68,7 +68,7 @@ object Linker {
       .partitionBy("bkey", "etype").orderBy("id")
     val capped = keyed
       .withColumn("rn", row_number().over(w))
-      .observe("linker_block_cap",
+      .observe(graft.runtime.Observed.name("linker_block_cap"),
         sum(when($"rn" > MaxBlockSize, 1L).otherwise(0L)).as("dropped"))
       .where($"rn" <= MaxBlockSize)
       .drop("rn")
@@ -150,8 +150,12 @@ object Linker {
                     broadcastLimit: Long = BroadcastRewriteLimit): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    // only non-identity rewrites matter — keep the join side minimal
-    val rw = rewrite.where(col("id") =!= col("canonicalId"))
+    // only non-identity rewrites matter — keep the join side minimal.
+    // Materialize before the path-choosing count: the rewrite map is
+    // typically an uncached CC-derived plan, and without the checkpoint
+    // its whole lineage would run once for the count and again for the
+    // join below (round-2 advice).
+    val rw = rewrite.where(col("id") =!= col("canonicalId")).localCheckpoint(true)
     val big = rw.count() > broadcastLimit
     val redirected =
       if (!big) {

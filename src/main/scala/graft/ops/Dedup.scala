@@ -79,7 +79,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bandHash").orderBy("id")
     val capped = banded.withColumn("rn", row_number().over(w))
-      .observe("minhash_band_cap",
+      .observe(graft.runtime.Observed.name("minhash_band_cap"),
         sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("dropped"))
       .where(col("rn") <= maxBucket)
     // SLIM pair generation: the self-join and the (idA,idB) dedup move id
@@ -105,10 +105,13 @@ object Dedup {
           .cast("double") / k).as("jaccard_est"))
   }
 
-  /** 64-bit SimHash of a text column: per-token xxhash64, bit-voting done
-    * as 64 weighted sums expressed with bitwise ops in pure columns would
-    * be 64 aggregates — instead use an efficient per-row computation over
-    * the token array (aggregate over bits via transform+reduce).
+  /** 64-bit SimHash of a text column — DECLARATIVE SPEC, not the hot path
+    * (mirrors [[minhashes]]'s role): the 64 `filter` higher-order subtrees
+    * are CodegenFallback, re-evaluating the tokenize+hash subtree
+    * interpreted per bit — measured 268.6 s at sf0.1 (62% of the round-2
+    * bench). The LSH pipeline uses [[graft.functions.SimHash64]], a native
+    * one-pass expression property-tested EQUAL to this column (same
+    * tokenization, same xxhash64 seed, same bit-voting rule).
     */
   def simhash(text: Column): Column = {
     val toks = array_distinct(split(text, "\\s+"))
@@ -123,17 +126,32 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates by pigeonhole banding: 4 bands × 16 bits;
-    * Hamming distance ≤ 3 ⇒ at least one identical band.
+    * Hamming distance ≤ 3 ⇒ at least one identical band. Fingerprints via
+    * the native one-pass [[graft.functions.SimHash64]]; band buckets are
+    * capped like the minhash/embedding siblings (boilerplate or empty
+    * documents share a fingerprint, so a degenerate band value otherwise
+    * goes quadratic) with an observed drop counter — no silent recall loss.
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   maxBucket: Int = 256): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64(col(textCol)).as("sh"))
     val banded = withSh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "bandVal")))
-    val a = banded.select(col("band"), col("bandVal"), col("id").as("idA"), col("sh").as("shA"))
-    val b = banded.select(col("band"), col("bandVal"), col("id").as("idB"), col("sh").as("shB"))
+    graft.runtime.Observed.install(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bandVal").orderBy("id")
+    val capped = banded.withColumn("rn", row_number().over(w))
+      .observe(graft.runtime.Observed.name("simhash_band_cap"),
+        sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+      .where(col("rn") <= maxBucket)
+    // unlike minhash, the fingerprint is a single long — carrying it
+    // through the band self-join is cheaper than re-attaching via joins
+    val a = capped.select(col("band"), col("bandVal"), col("id").as("idA"), col("sh").as("shA"))
+    val b = capped.select(col("band"), col("bandVal"), col("id").as("idB"), col("sh").as("shB"))
     val hamming = bit_count(col("shA").bitwiseXOR(col("shB")))
     a.join(b, Seq("band", "bandVal"))
       .where(col("idA") < col("idB"))
@@ -219,7 +237,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "sig").orderBy("id")
     val capped = banded.withColumn("rn", row_number().over(w))
-      .observe("embed_band_cap",
+      .observe(graft.runtime.Observed.name("embed_band_cap"),
         sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("dropped"))
       .where(col("rn") <= maxBucket)
     val a = capped.select(col("band"), col("sig"),

@@ -40,22 +40,29 @@ object TextAnalysis {
     * unsupported detected language maps to its closest supported one via a
     * broadcast lookup; anything unmapped falls back to the default. Pure
     * column expression (map literal + coalesce) — no shuffle, no UDF.
+    *
+    * The table is the REFERENCE's own (language.py:149-179): the reference
+    * supports exactly [ru, en], maps the ru-adjacent uk/be → ru and the
+    * European de/nl/fr/es/it/pt/pl → en, default en. A mapped target that
+    * is not in `supported` degrades to `default`, preserving the invariant
+    * that lang_effective ∈ supported ∪ {default} for ANY supported set.
     */
   val LanguageFallback: Map[String, String] = Map(
-    // Slavic → ru; Romance → es/fr; Germanic → de/en (language.py:149-179
-    // uses the same closest-supported-language principle)
-    "uk" -> "ru", "be" -> "ru", "bg" -> "ru", "sr" -> "ru",
-    "pt" -> "es", "ca" -> "es", "gl" -> "es", "it" -> "es",
-    "ro" -> "fr", "nl" -> "de", "da" -> "de", "sv" -> "de", "no" -> "de")
+    "uk" -> "ru", "be" -> "ru",
+    "de" -> "en", "nl" -> "en", "fr" -> "en", "es" -> "en",
+    "it" -> "en", "pt" -> "en", "pl" -> "en")
 
   def languageFallback(docs: DataFrame, langCol: String = "lang",
-                       supported: Seq[String] = Seq("en", "es", "de", "fr", "ru"),
+                       supported: Seq[String] = Seq("ru", "en"),
                        default: String = "en"): DataFrame = {
     val fbMap = map(LanguageFallback.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val mapped = element_at(fbMap, col(langCol))
     docs.withColumn("lang_effective",
       when(col(langCol).isin(supported.map(s => s: Any): _*), col(langCol))
-        .otherwise(coalesce(element_at(fbMap, col(langCol)), lit(default))))
+        .otherwise(coalesce(
+          when(mapped.isin(supported.map(s => s: Any): _*), mapped),
+          lit(default))))
   }
 
   /** Quality scoring: length / punctuation / stopword / repetition ratios

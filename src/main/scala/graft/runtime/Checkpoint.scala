@@ -34,6 +34,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
       compute: => DataFrame): DataFrame = {
     if (isCommitted(stage)) return read(stage)
     val t0 = System.nanoTime()
+    val before = Observed.snapshot()
     val df = compute
     val writer = df.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
@@ -41,9 +42,17 @@ final class Checkpoint(spark: SparkSession, root: String) {
     val out = read(stage)
     val rows = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // observed cap/drop counters harvested during this stage's jobs —
-    // part of the lineage record (no-silent-caps rule)
-    val observed = Observed.snapshot()
+    // observed cap/drop counters harvested during THIS stage's jobs: the
+    // registry is process-cumulative, so the manifest records the
+    // before/after DELTA — a stage that dropped nothing shows no counters
+    // even when an earlier stage (or run) did (round-2 advice)
+    val delta = Observed.snapshot().flatMap { case (name, m) =>
+      val prev = before.getOrElse(name, Map.empty[String, Long])
+      val d = m.map { case (k, v) => k -> (v - prev.getOrElse(k, 0L)) }
+        .filter(_._2 != 0L)
+      if (d.isEmpty) None else Some(name -> d)
+    }
+    val observed = delta
       .map { case (name, m) =>
         "\"" + name + "\":{" +
           m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"

@@ -20,9 +20,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 object Observed {
 
-  /** observation name → (metric column name → value). */
+  /** observation name → (metric column name → value). Names carry a
+    * per-call-site `#n` suffix (see [[name]]); reads aggregate by prefix.
+    */
   private val values = new ConcurrentHashMap[String, Map[String, Long]]()
   private val installed = ConcurrentHashMap.newKeySet[String]()
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Unique observation name for one capped-operator call site.
+    * CollectMetrics names must be unique within a query (two calls to the
+    * same operator in one plan would otherwise fail analysis) and
+    * concurrent queries sharing a fixed name would overwrite each other's
+    * registry entries — a 0-drop run could report another run's drops
+    * (round-2 advice). [[get]]/[[snapshot]] aggregate the `#n`-suffixed
+    * entries back under the logical prefix.
+    */
+  def name(prefix: String): String = prefix + "#" + nameCounter.incrementAndGet()
+
+  /** Record a driver-computed counter (e.g. a probe job's count) under the
+    * same no-silent-caps registry as the observe metrics.
+    */
+  def record(prefix: String, m: Map[String, Long]): Unit = {
+    values.put(name(prefix), m)
+    m.foreach { case (k, v) =>
+      if (v > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"graft observed metric $prefix.$k = $v (capped/dropped rows)")
+    }
+  }
+
+  private def prefixOf(key: String): String = {
+    val i = key.lastIndexOf('#')
+    if (i < 0) key else key.substring(0, i)
+  }
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
@@ -51,15 +81,35 @@ object Observed {
     if (installed.add(System.identityHashCode(spark).toString))
       spark.listenerManager.register(listener)
 
-  def get(name: String): Option[Map[String, Long]] = Option(values.get(name))
-
-  /** Drop a stored observation (tests: isolate from earlier queries that
-    * reported under the same name).
+  /** Aggregate (sum per metric) every stored observation whose logical
+    * prefix matches — one operator called k times reports the total.
     */
-  def clear(name: String): Unit = values.remove(name)
+  def get(prefix: String): Option[Map[String, Long]] = {
+    import scala.jdk.CollectionConverters._
+    val hits = values.asScala.filter { case (k, _) => prefixOf(k) == prefix }
+    if (hits.isEmpty) None
+    else Some(hits.values.foldLeft(Map.empty[String, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+    })
+  }
 
+  /** Drop stored observations by logical prefix (tests: isolate from
+    * earlier queries that reported under the same operator).
+    */
+  def clear(prefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    values.keySet.asScala.filter(k => prefixOf(k) == prefix)
+      .foreach(values.remove)
+  }
+
+  /** Snapshot aggregated by logical prefix. */
   def snapshot(): Map[String, Map[String, Long]] = {
     import scala.jdk.CollectionConverters._
-    values.asScala.toMap
+    values.asScala.toMap.groupBy { case (k, _) => prefixOf(k) }
+      .map { case (p, ms) =>
+        p -> ms.values.foldLeft(Map.empty[String, Long]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+        }
+      }
   }
 }

@@ -81,6 +81,38 @@ class GraphQuerySpec extends SparkSpec {
     assert(stats2("is_connected") == 0.0)
   }
 
+  test("clustering wedge build is degree-capped with an observed counter (round-2 item 5)") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
+    def rel(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    // planted hub: one center wired to 500 leaves, leaves chained so the
+    // hub's neighborhood has SOME triangles; cap 32 bounds the wedge set
+    // to C(32,2) instead of C(500,2)
+    val leaves = (0 until 500).map(i => s"leaf$i")
+    val spokes = leaves.zipWithIndex.map { case (l, i) => rel(s"s$i", "hub", l) }
+    val chain = (0 until 499).map(i => rel(s"c$i", s"leaf$i", s"leaf${i + 1}"))
+    val g = graft.graphout.GraphBuilder.Graph(
+      ("hub" +: leaves).map(ent).toDS(), (spokes ++ chain).toDS())
+    graft.runtime.Observed.clear("clustering_deg_cap")
+    val est = graft.graphout.GraphBuilder.avgClusteringCoefficient(g, maxDegree = 32)
+    // exact avg clustering: hub c=C(499 chain edges among 500 nbrs)...
+    // leaves: leaf0/leaf499 have deg 2 (hub + 1 chain nbr) with the
+    // hub-chain triangle → c=1; middle leaves deg 3, 2 triangles of 3
+    // possible → 2/3. The sampled-hub estimate stays in [0,1] and the
+    // leaf terms are EXACT (deg ≤ maxDegree), so
+    // avg ∈ [(2·1 + 498·2/3)/501, (2·1 + 498·2/3 + 1)/501]
+    val leafSum = 2.0 + 498.0 * 2.0 / 3.0
+    assert(est >= leafSum / 501 - 1e-9 && est <= (leafSum + 1.0) / 501 + 1e-9, est.toString)
+    def poll(): Option[Long] =
+      graft.runtime.Observed.get("clustering_deg_cap").map(_("dropped"))
+    val deadline = System.currentTimeMillis() + 10000
+    while (poll().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // hub keeps 32 of 500 neighbors → 468 adjacency rows dropped
+    assert(poll().exists(_ >= 468L), s"observed=${poll()}")
+  }
+
   test("filter_visualization: entity-type/rel-type/confidence display filters (graph_visualizer.py:230-302)") {
     val f1 = GraphQueryOps.filterVisualization(g, entityTypes = Some(Seq("person", "organization")))
     assert(f1.nodes.collect().map(_.entityType).toSet == Set("person", "organization"))

@@ -43,6 +43,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("native SimHash64 equals the declarative bit-voting spec") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different content about spark sql engines",
+      "a", "a b", "  leading and   irregular   whitespace text",
+      (1 to 80).map(i => s"tok${i % 13}").mkString(" "),
+      "unicode tökens café 北京 и слова"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val both = df.select($"doc_id",
+      graft.functions.SimHash64($"text").as("native"),
+      Dedup.simhash($"text").as("spec")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native=${r.getLong(1)} spec=${r.getLong(2)}")
+    }
+  }
+
+  test("simhash band buckets are capped with an observed drop counter") {
+    import spark.implicits._
+    val docs = (0 until 20)
+      .map(i => (i.toLong, "identical boilerplate text shared by every document row"))
+      .toDF("doc_id", "text")
+    graft.runtime.Observed.clear("simhash_band_cap")
+    val n = Dedup.simhashPairs(docs, maxBucket = 4).count()
+    // 4 docs per band survive → C(4,2)=6 distinct pairs (identical docs,
+    // so the same pairs in all 4 bands, deduped)
+    assert(n == 6L, s"pairs=$n")
+    def poll(): Option[Long] =
+      graft.runtime.Observed.get("simhash_band_cap").map(_("dropped"))
+    val deadline = System.currentTimeMillis() + 10000
+    while (poll().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // 20 identical docs × 4 bands, cap 4 → 16 dropped per band = 64
+    assert(poll().contains(64L), s"observed=${poll()}")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     import spark.implicits._
     val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
@@ -166,6 +203,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[String]("lang_guess") == "en")
     assert(out(1).getAs[String]("lang_guess") == "es")
     assert(out(2).getAs[String]("lang_guess") == "de")
+  }
+
+  test("language fallback matches the reference table and respects `supported`") {
+    import spark.implicits._
+    val docs = Seq("en", "ru", "uk", "be", "de", "pt", "pl", "zh", "xx")
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    // reference semantics (language.py:149-179): supported [ru,en],
+    // uk/be → ru, de/nl/fr/es/it/pt/pl → en, anything else → default en
+    val eff = TextAnalysis.languageFallback(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[String]("lang_effective")).toMap
+    assert(eff == Map("en" -> "en", "ru" -> "ru", "uk" -> "ru", "be" -> "ru",
+      "de" -> "en", "pt" -> "en", "pl" -> "en", "zh" -> "en", "xx" -> "en"))
+    // a mapped target NOT in `supported` degrades to default — the
+    // invariant lang_effective ∈ supported ∪ {default} holds for any set
+    val narrow = TextAnalysis.languageFallback(docs,
+      supported = Seq("en"), default = "en").collect()
+      .map(_.getAs[String]("lang_effective")).toSet
+    assert(narrow == Set("en"))
   }
 
   test("quality score counts are exact") {

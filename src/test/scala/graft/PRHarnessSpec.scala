@@ -16,37 +16,12 @@ import graft.pipeline.KgPipeline
  */
 class PRHarnessSpec extends SparkSpec {
 
-  /** Independent fact extraction: plain line scans, no regex bank. */
-  def expectedTriples(f: CodeFile): Seq[(String, String, String)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    for (raw <- f.content.split("\n")) {
-      val line = raw
-      val trimmed = line.trim
-      if (line.startsWith("import ")) {
-        out += ((f.path, "imports", line.stripPrefix("import ").trim))
-      } else if (trimmed.startsWith("class ") && trimmed.contains(" extends ")) {
-        val rest = trimmed.stripPrefix("class ")
-        val cls = rest.takeWhile(_.isLetterOrDigit)
-        val sup = rest.split(" extends ")(1).takeWhile(c => c.isLetterOrDigit || c == '_')
-        out += ((cls, "is-a", sup))
-        out += ((f.path, "declares", cls))
-      } else if (trimmed.startsWith("def ") && trimmed.contains("(")) {
-        val fn = trimmed.stripPrefix("def ").takeWhile(c => c.isLetterOrDigit || c == '_')
-        out += ((f.path, "defines", fn))
-      } else if (trimmed.startsWith("// rel: ")) {
-        val parts = trimmed.stripPrefix("// rel: ").split("\\s+")
-        if (parts.length == 3) out += ((parts(0), parts(1), parts(2)))
-      } else if (line.startsWith(" ") && trimmed.nonEmpty && trimmed.head.isLetter &&
-        !trimmed.startsWith("def ") && !trimmed.startsWith("class ")) {
-        // call site: indented `name(args...)`
-        val name = trimmed.takeWhile(c => c.isLetterOrDigit || c == '_')
-        if (name.nonEmpty && trimmed.drop(name.length).startsWith("(")) {
-          out += ((f.path, "calls", name))
-        }
-      }
-    }
-    out.toSeq.distinct
-  }
+  /** Independent fact extraction: plain line scans, no regex bank (shared
+    * with the kg_tripleset driver entry's in-run invariant —
+    * [[graft.corpus.ClosedFormTriples]]).
+    */
+  def expectedTriples(f: CodeFile): Seq[(String, String, String)] =
+    graft.corpus.ClosedFormTriples.expectedTriples(f)
 
   test("triple-set precision and recall ≥ 0.95 vs the closed-form expected set") {
     import spark.implicits._

@@ -115,6 +115,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text search filters stay in whole-stage codegen — no HOF fallback (round-2 item 3)") {
+    import spark.implicits._
+    val nodes = spark.range(200).select(
+      concat(lit("e"), $"id").as("id"), concat(lit("name"), $"id").as("name"),
+      lit("t").as("entityType"), lit(null).cast("string").as("context"),
+      map(lit("k"), concat(lit("v"), $"id")).as("attributes"),
+      lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
+      lit("").as("path"), lit("").as("contentSha")).as[graft.model.Entity]
+    val g = graft.graphout.GraphBuilder.Graph(nodes, spark.emptyDataset[graft.model.Triple])
+
+    val byName = graft.query.GraphQueryOps.searchText(g, "name1\\d")
+    // name10..19 and name100..199 contain "name1<digit>"
+    assert(byName.count() == 110)
+    val p = byName.queryExecution.executedPlan.toString
+    assert(!p.contains("exists("), p.take(1500))
+    assert(p.contains("graft_regex_any"), p.take(1500))
+    // the Filter must sit inside a codegen span (`*(n) Filter`): the HOF
+    // form dragged it into CodegenFallback
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(p).isDefined, p.take(1500))
+
+    // attribute-only hit still matches (map clause semantics preserved)
+    assert(graft.query.GraphQueryOps.searchText(g, "^v42$").count() == 1)
+
+    val edges = spark.range(100).select(
+      concat(lit("r"), $"id").as("id"), lit("a").as("srcId"), lit("b").as("dstId"),
+      lit("").as("srcName"), lit("").as("dstName"),
+      concat(lit("rel"), $"id").as("relType"), lit(null).cast("string").as("context"),
+      lit(false).as("bidirectional"), lit(1.0).as("strength"),
+      lit(1.0).as("confidence"), lit("").as("segId"),
+      map(lit("k"), concat(lit("w"), $"id")).as("attributes")).as[graft.model.Triple]
+    val ge = graft.graphout.GraphBuilder.Graph(nodes, edges)
+    val byRel = graft.query.GraphQueryOps.searchTextRelationships(ge, "rel1\\d")
+    assert(byRel.count() == 10)
+    val pe = byRel.queryExecution.executedPlan.toString
+    assert(!pe.contains("exists(") && pe.contains("graft_regex_any"), pe.take(1500))
+    assert(graft.query.GraphQueryOps.searchTextRelationships(ge, "^w7$").count() == 1)
+  }
+
   test("capped operators report drop counters via observe (no silent caps)") {
     import spark.implicits._
     val docs = (0 until 30)
