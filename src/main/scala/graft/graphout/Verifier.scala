@@ -146,31 +146,37 @@ object Verifier {
     val negOrigins = neg.select($"origin".as("src")).distinct()
     if (negOrigins.isEmpty) return spark.emptyDataset[Issue]
 
-    val issues = TransitiveTypes.map { tt =>
-      val h = g.edges.toDF().where(lower($"relType") === tt)
-        .select($"srcId".as("src"), $"dstId".as("dst")).distinct()
-        .localCheckpoint(true)
-      // reachable in [2, maxHops] hops, origins pre-pruned to neg sources
-      var paths = h.join(negOrigins, Seq("src"), "left_semi")
-        .select($"src".as("origin"), $"dst".as("last"))
-      var hop = 1
-      var acc: DataFrame = null
-      while (hop < maxHops && !paths.isEmpty) {
-        paths = paths.join(h.withColumnRenamed("src", "last"), Seq("last"))
-          .select($"origin", $"dst".as("last")).distinct().localCheckpoint(true)
-        acc = if (acc == null) paths else acc.union(paths)
-        hop += 1
-      }
-      if (acc == null) spark.emptyDataset[Issue]
-      else acc.distinct()
-        .join(neg, Seq("origin", "last"), "left_semi")
-        .map(r => Issue(
+    // all transitive types walk TOGETHER, keyed by a type column — chains
+    // stay within one type via the (tt, last=src) join key, but the
+    // driver loop runs once instead of once per type (each hop of each
+    // per-type loop was a driver-blocking job; fused: one job per hop)
+    val h = g.edges.toDF()
+      .where(lower($"relType").isin(TransitiveTypes: _*))
+      .select(lower($"relType").as("tt"), $"srcId".as("src"), $"dstId".as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // reachable in [2, maxHops] hops, origins pre-pruned to neg sources
+    var paths = h.join(negOrigins, Seq("src"), "left_semi")
+      .select($"tt", $"src".as("origin"), $"dst".as("last"))
+    var hop = 1
+    var acc: DataFrame = null
+    while (hop < maxHops && !paths.isEmpty) {
+      paths = paths.join(h.withColumnRenamed("src", "last"), Seq("tt", "last"))
+        .select($"tt", $"origin", $"dst".as("last")).distinct().localCheckpoint(true)
+      acc = if (acc == null) paths else acc.union(paths)
+      hop += 1
+    }
+    if (acc == null) spark.emptyDataset[Issue]
+    else acc.distinct()
+      .join(neg, Seq("origin", "last"), "left_semi")
+      .map { r =>
+        val tt = r.getAs[String]("tt")
+        Issue(
           issueType = s"transitive_contradiction_$tt",
           involvedElements = Seq(r.getAs[String]("origin"), r.getAs[String]("last")),
           proposedSolution = s"Resolve conflict between $tt chain and direct negation",
-          severity = Severity.Medium))
-    }
-    issues.reduce(_ union _)
+          severity = Severity.Medium)
+      }
   }
 
   final case class Verification(issues: Dataset[Issue], isValid: Boolean)

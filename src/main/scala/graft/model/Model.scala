@@ -129,6 +129,13 @@ object Ids {
   def contentSha(content: String): String = sha256Hex(content)
   def segId(repo: String, path: String, commit: String, start: Long, end: Long): String =
     sha256Hex(s"$repo|$path|$commit|$start|$end").take(32)
+  /** The level-0 file segment gets its OWN derivation: a file short enough
+    * for a single window would otherwise give the window child the same
+    * (start, end) span — and therefore the same id — as its parent,
+    * turning the segment hierarchy into a self-loop.
+    */
+  def fileSegId(repo: String, path: String, commit: String): String =
+    sha256Hex(s"$repo|$path|$commit|file").take(32)
   def entityId(normName: String, entityType: String): String =
     sha256Hex(s"$normName|$entityType").take(32)
   def tripleId(srcId: String, relType: String, dstId: String, segId: String): String =

@@ -32,7 +32,7 @@ object CodeSegmenter {
 
   def segmentFile(f: CodeFile): Seq[Segment] = {
     val sha = Ids.contentSha(f.content)
-    val fileSegId = Ids.segId(f.repo, f.path, f.commit, 0, f.content.length.toLong)
+    val fileSegId = Ids.fileSegId(f.repo, f.path, f.commit)
     val root = Segment(
       segId = fileSegId, parentId = None, repo = f.repo, path = f.path,
       lang = f.lang, level = 0, segType = "file", title = Some(f.path),

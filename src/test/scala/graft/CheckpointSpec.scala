@@ -36,6 +36,56 @@ class CheckpointSpec extends SparkSpec {
     assert(secondSec < firstSec / 2, f"resume took $secondSec%.1fs vs fresh $firstSec%.1fs")
   }
 
+  test("per-partition commits: mid-stage kill resumes without recomputing committed buckets") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("ckpt3").toString
+    val cp = new graft.runtime.Checkpoint(spark, root)
+    val nB = 8
+    def compute = graft.corpus.CorpusGen.generate(spark, 120).toDF()
+
+    val full = cp.runStagePartitioned("00_corpus_p", Nil, "path", nB)(compute)
+      .orderBy("path").collect().map(_.getAs[String]("path")).toSeq
+    assert(full.size == 120)
+    assert((0 until nB).forall(b => Files.exists(Paths.get(s"$root/00_corpus_p/_BUCKET_$b.json"))))
+
+    // simulate a kill after 5 of 8 bucket commits: stage manifest and the
+    // last 3 bucket commits never happened
+    Files.delete(Paths.get(s"$root/00_corpus_p/_MANIFEST.json"))
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq.foreach(rmr) }
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    (5 until nB).foreach { b =>
+      Files.delete(Paths.get(s"$root/00_corpus_p/_BUCKET_$b.json"))
+      rmr(Paths.get(s"$root/00_corpus_p/data/bucket=$b"))
+    }
+    // survivors' data files must NOT be rewritten on resume — record mtimes
+    def dataFiles(b: Int): Map[String, java.nio.file.attribute.FileTime] = {
+      val dir = Paths.get(s"$root/00_corpus_p/data/bucket=$b")
+      val s = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+      } finally s.close()
+    }
+    val before = (0 until 5).map(dataFiles)
+
+    val resumed = cp.runStagePartitioned("00_corpus_p", Nil, "path", nB)(compute)
+      .orderBy("path").collect().map(_.getAs[String]("path")).toSeq
+    assert(resumed == full)
+    assert(cp.isCommitted("00_corpus_p"))
+    val after = (0 until 5).map(dataFiles)
+    assert(before == after, "committed buckets were rewritten on resume")
+    // the stage manifest records how many buckets were resumed vs recomputed
+    assert(Files.readString(Paths.get(s"$root/00_corpus_p/_MANIFEST.json"))
+      .contains("\"resumedBuckets\":5"))
+  }
+
   test("a killed run resumes from the last committed stage") {
     val root = Files.createTempDirectory("ckpt2").toString
     // simulate a partial run: commit only the first two stages
