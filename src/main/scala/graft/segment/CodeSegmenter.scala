@@ -72,17 +72,57 @@ object CodeSegmenter {
 
   private val ParaSplit = "\\n\\s*\\n".r
   private val SentSplit = "(?<=[.!?])\\s+".r
+  private val HeaderLine = "(?m)^#{1,6}[ \\t].*$".r
 
-  /** Paragraph segmentation with running char offsets (text_segmenter.py:330-435). */
+  /** NL segmentation (text_segmenter.py:330-435 rules): markdown-header
+    * SECTIONS (when present) → paragraphs → sentences-for-long-paragraphs.
+    * The section level is the deterministic stand-in for the reference
+    * LLM segmenter's section structure (segmentation prompt levels 1-2;
+    * the committed segments.json example nests paragraphs under a
+    * "# ..."-titled section) — header depth is not nested further, every
+    * `#`..`######` heading opens one section running to the next heading.
+    */
   private def paragraphs(f: CodeFile, sha: String, parent: String): Seq[Segment] = {
     val content = f.content
+    val headers = HeaderLine.findAllMatchIn(content).toVector
+    if (headers.isEmpty) paragraphBlocks(f, sha, parent, 0, content.length, 1)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
+      // preamble before the first heading: plain paragraphs under the root
+      if (headers.head.start > 0)
+        out ++= paragraphBlocks(f, sha, parent, 0, headers.head.start, 1)
+      for (idx <- headers.indices) {
+        val h = headers(idx)
+        val secStart = h.start
+        val secEnd = if (idx + 1 < headers.size) headers(idx + 1).start else content.length
+        val title = content.substring(h.start, h.end).dropWhile(_ == '#').trim
+        val secId = Ids.segId(f.repo, f.path, f.commit, secStart.toLong, secEnd.toLong)
+        out += Segment(secId, Some(parent), f.repo, f.path, f.lang, 1, "section",
+          Some(title), content.substring(secStart, secEnd),
+          secStart.toLong, secEnd.toLong, sha)
+        // body starts after the heading line (its trailing newline, if any)
+        val bodyStart = math.min(h.end + 1, secEnd)
+        out ++= paragraphBlocks(f, sha, secId, bodyStart, secEnd, 2)
+      }
+      out.toSeq
+    }
+  }
+
+  /** Paragraph/sentence blocks of content[from, to) with exact global char
+    * offsets; paragraphs at `level`, sentence splits of long paragraphs at
+    * `level + 1`.
+    */
+  private def paragraphBlocks(f: CodeFile, sha: String, parent: String,
+                              from: Int, to: Int, level: Int): Seq[Segment] = {
+    val content = f.content
+    val range = content.substring(from, to)
     val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
     var pos = 0
-    val matches = ParaSplit.findAllMatchIn(content).toVector
-    val bounds = (matches.map(m => (m.start, m.end)) :+ ((content.length, content.length)))
+    val matches = ParaSplit.findAllMatchIn(range).toVector
+    val bounds = (matches.map(m => (m.start, m.end)) :+ ((range.length, range.length)))
     for ((bStart, bEnd) <- bounds) {
       if (bStart > pos) {
-        val para = content.substring(pos, bStart)
+        val para = range.substring(pos, bStart)
         if (para.trim.nonEmpty) {
           if (para.length > LongParagraph) {
             // sentence-split long paragraphs, preserving offsets
@@ -91,17 +131,18 @@ object CodeSegmenter {
             val sBounds = sm.map(m => (m.start, m.end)) :+ ((para.length, para.length))
             for ((sbS, sbE) <- sBounds) {
               if (sbS > sPos) {
-                val s0 = pos + sPos; val s1 = pos + sbS
+                val s0 = from + pos + sPos; val s1 = from + pos + sbS
                 out += Segment(Ids.segId(f.repo, f.path, f.commit, s0.toLong, s1.toLong),
-                  Some(parent), f.repo, f.path, f.lang, 2, "sentence", None,
+                  Some(parent), f.repo, f.path, f.lang, level + 1, "sentence", None,
                   content.substring(s0, s1), s0.toLong, s1.toLong, sha)
               }
               sPos = sbE
             }
           } else {
-            out += Segment(Ids.segId(f.repo, f.path, f.commit, pos.toLong, bStart.toLong),
-              Some(parent), f.repo, f.path, f.lang, 1, "paragraph", None,
-              para, pos.toLong, bStart.toLong, sha)
+            val p0 = from + pos; val p1 = from + bStart
+            out += Segment(Ids.segId(f.repo, f.path, f.commit, p0.toLong, p1.toLong),
+              Some(parent), f.repo, f.path, f.lang, level, "paragraph", None,
+              para, p0.toLong, p1.toLong, sha)
           }
         }
       }
@@ -118,8 +159,13 @@ object CodeSegmenter {
   /** Windows only (level>0): the extraction stage input — excludes the
     * level-0 file rows so mentions aren't double-counted.
     */
+  /** LEAF segments only — the extraction surface. Containers (the level-0
+    * file root and markdown sections) hold the same characters their
+    * children hold; extracting from both would double every mention.
+    */
   def windows(files: Dataset[CodeFile]): Dataset[Segment] = {
     import files.sparkSession.implicits._
-    files.flatMap(f => segmentFile(f).filter(_.level > 0))
+    files.flatMap(f => segmentFile(f).filter(s =>
+      s.level > 0 && s.segType != "section"))
   }
 }

@@ -35,6 +35,38 @@ class TreeExportSpec extends SparkSpec {
     assert(json == TreeExport.traverseTreeJson(g, "alice", maxDepth = 2))
   }
 
+  test("markdown headers open section segments: file → section → paragraph (T4 hierarchy)") {
+    import spark.implicits._
+    val md = "# Intro\n\nFirst paragraph of intro.\n\nSecond paragraph.\n\n" +
+      "## Details\n\nDetail paragraph one.\n"
+    val f = graft.model.CodeFile("org/r", "docs/d.md", "d" * 40, "en", md)
+    val segs = graft.segment.CodeSegmenter.segment(Seq(f).toDS()).collect()
+    // exact offsets hold for every level
+    segs.foreach(s => assert(md.substring(s.start.toInt, s.end.toInt) == s.text))
+    val sections = segs.filter(_.segType == "section")
+    assert(sections.map(_.title.get).toSet == Set("Intro", "Details"))
+    assert(sections.forall(_.level == 1))
+    val intro = sections.find(_.title.contains("Intro")).get
+    val paras = segs.filter(_.segType == "paragraph")
+    assert(paras.forall(_.level == 2))
+    assert(paras.count(_.parentId.contains(intro.segId)) == 2)
+    // root parents the sections
+    val root = segs.find(_.level == 0).get
+    assert(sections.forall(_.parentId.contains(root.segId)))
+    // extraction surface stays leaf-only: no section rows, no double text
+    val w = graft.segment.CodeSegmenter.windows(Seq(f).toDS()).collect()
+    assert(w.forall(s => s.segType != "section" && s.level > 0))
+    assert(w.map(_.text).mkString.length < md.length)
+    // nested export nests paragraphs under their section
+    val json = graft.graphout.TreeExport.segmentHierarchyJson(
+      graft.segment.CodeSegmenter.segment(Seq(f).toDS()))
+    val roots = parse(json).head()
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("segments")
+    assert(roots.size == 1)
+    val secRows = roots.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("children")
+    assert(secRows.map(_.getAs[String]("segment_type")).forall(_ == "section"))
+  }
+
   test("segment hierarchy matches the reference segments.json node schema") {
     import spark.implicits._
     val f = graft.model.CodeFile("org/r", "src/T.scala", "c" * 40, "scala",
