@@ -762,15 +762,18 @@ object Queries {
       val expected = graft.corpus.ClosedFormTriples.expectedSet(400L)
       import s.implicits._
       val expDf = expected.toSeq.toDF("subjName", "relType", "objName")
-      val actualN = res.tripleSet.count().toDouble
-      val hit = res.tripleSet
+      // persist: the invariant's two counts plus the driver's own count
+      // would otherwise re-run the triple-set joins three times
+      val ts = res.tripleSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val actualN = ts.count().toDouble
+      val hit = ts
         .join(expDf, Seq("subjName", "relType", "objName"), "left_semi")
         .count().toDouble
       val p = hit / actualN
       val r = hit / expected.size
       require(p >= 0.95 && r >= 0.95,
         f"kg_tripleset drifted from the closed-form oracle: P=$p%.4f R=$r%.4f")
-      res.tripleSet
+      ts
     }),
     "kg_stats" -> ((s, _) => graphout.GraphBuilder.stats(sharedKg(s).graph))
   )

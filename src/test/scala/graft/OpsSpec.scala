@@ -288,6 +288,42 @@ class StorageSpec extends SparkSpec {
     assert(storage.delete("g1"))
   }
 
+  test("bucketed save co-locates the node⨝edge join — no Exchange in the plan") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    val nodes = spark.range(2000).select(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("e"), $"id").as("id"),
+      org.apache.spark.sql.functions.lit("n").as("name"),
+      org.apache.spark.sql.functions.lit("t").as("entityType"),
+      org.apache.spark.sql.functions.lit(null).cast("string").as("context"),
+      org.apache.spark.sql.functions.map().cast("map<string,string>").as("attributes"),
+      org.apache.spark.sql.functions.lit(1.0).as("confidence"),
+      org.apache.spark.sql.functions.lit("").as("segId"),
+      org.apache.spark.sql.functions.lit("").as("repo"),
+      org.apache.spark.sql.functions.lit("").as("path"),
+      org.apache.spark.sql.functions.lit("").as("contentSha")).as[Entity]
+    val edges = (0 until 4000).map(i =>
+      Triple(s"r$i", s"e${i % 2000}", s"e${(i + 7) % 2000}", "", "", "r",
+        None, bidirectional = false, 1.0, 1.0, "")).toDS()
+    val storage = new graft.graphout.GraphStorage(spark,
+      java.nio.file.Files.createTempDirectory("bucketed").toString)
+    storage.saveBucketed("bspec", graft.graphout.GraphBuilder.Graph(nodes, edges), buckets = 8)
+    val g = storage.loadBucketed("bspec")
+    assert(g.nodes.count() == 2000 && g.edges.count() == 4000)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so co-location is what's under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = g.edges.toDF()
+        .join(g.nodes.toDF().withColumnRenamed("id", "srcId").select("srcId", "name"),
+          Seq("srcId"))
+      assert(joined.count() == 4000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("cypher export escapes and covers all elements") {
     val g = Fixtures.queryGraph(spark)
     val stmts = graft.graphout.GraphStorage.toCypher(g).collect().map(_.getString(0))
