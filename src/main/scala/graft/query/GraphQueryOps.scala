@@ -278,15 +278,29 @@ object GraphQueryOps {
       .limit(k)
   }
 
+  /** Below this many nodes AND edges, iterative centralities run as an
+    * in-memory driver loop (mirrors ConnectedComponents' union-find fast
+    * path): a 10-40-iteration join-aggregate loop on a tiny graph is pure
+    * fixed job latency — dozens of driver-blocking rounds to move a few
+    * kilobytes. The driver loop is deterministic (contributions summed in
+    * sorted-source order), and the distributed path remains the one
+    * answer at scale; PropertySpec pins the two paths equal.
+    */
+  val DriverIterationLimit: Long =
+    sys.env.get("GRAFT_CENTRALITY_DRIVER_LIMIT").map(_.toLong).getOrElse(200000L)
+
   /** Q9 pagerank — iterative join-aggregate loop with damping 0.85.
     * Dangling mass is redistributed uniformly each iteration.
     */
-  def pagerank(g: Graph, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pagerank(g: Graph, iterations: Int = 10, damping: Double = 0.85,
+               driverLimit: Long = DriverIterationLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val n = g.nodes.count().toDouble
     val edges = g.edges.toDF().select($"srcId", $"dstId").distinct()
       .localCheckpoint(true)
+    if (n <= driverLimit && edges.count() <= driverLimit)
+      return pagerankDriver(g, edges, n, iterations, damping)
     val outDeg = edges.groupBy($"srcId").agg(count(lit(1)).as("outDeg"))
     var ranks = g.nodes.toDF().select($"id", lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
@@ -316,13 +330,62 @@ object GraphQueryOps {
     ranks
   }
 
+  /** In-memory pagerank replicating the distributed loop's arithmetic:
+    * r'(v) = (1−d)/n + d·(Σ_{u→v} r(u)/outdeg(u) + D/n), contributions
+    * and the dangling mass D summed in sorted-id order from 0.0 — the
+    * same IEEE operations the distributed path performs for in-degree ≤ 2
+    * and deterministic regardless.
+    */
+  private def pagerankDriver(g: Graph, edges: DataFrame, n: Double,
+                             iterations: Int, damping: Double): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val ids = g.nodes.toDF().select($"id").as[String].collect().sorted
+    val idx = ids.zipWithIndex.toMap
+    val es = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    // out-degree counts ALL of a node's edges (even to dangling targets),
+    // exactly like the distributed groupBy(srcId) — a node whose edges
+    // all point at unknown ids is NOT a dangling node
+    val outDeg = new Array[Int](ids.length)
+    es.foreach { case (s, _) => idx.get(s).foreach(i => outDeg(i) += 1) }
+    // in-edges per known target from known sources, sorted by source id
+    // for a fixed sum order
+    val inEdges = es.filter(p => idx.contains(p._1) && idx.contains(p._2))
+      .sortBy(_._1).groupBy(_._2)
+      .map { case (d, ps) => idx(d) -> ps.map(p => idx(p._1)) }
+    val c = (1.0 - damping) / n
+    var r = Array.fill(ids.length)(1.0 / n)
+    var it = 0
+    while (it < iterations) {
+      var dangling = 0.0
+      var v = 0
+      while (v < ids.length) {
+        if (outDeg(v) == 0) dangling += r(v)
+        v += 1
+      }
+      val nr = new Array[Double](ids.length)
+      v = 0
+      while (v < ids.length) {
+        var inSum = 0.0
+        inEdges.get(v).foreach(_.foreach(u => inSum += r(u) / outDeg(u)))
+        nr(v) = c + damping * (inSum + dangling / n)
+        v += 1
+      }
+      r = nr
+      it += 1
+    }
+    spark.createDataset(ids.toIndexedSeq.map(id => (id, r(idx(id)))))
+      .toDF("id", "rank")
+  }
+
   /** Q9 eigenvector centrality — power iteration on the undirected
     * adjacency (reference sort_entities_by_metric supports eigenvector via
     * networkx, graph_query.py:458-464). Same iterative join-aggregate
     * skeleton as pagerank; the vector is L2-normalized each iteration via
     * one scalar aggregate.
     */
-  def eigenvectorCentrality(g: Graph, iterations: Int = 20): DataFrame = {
+  def eigenvectorCentrality(g: Graph, iterations: Int = 20,
+                            driverLimit: Long = DriverIterationLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     // undirected view (networkx eigenvector_centrality on DiGraph uses
@@ -332,6 +395,8 @@ object GraphQueryOps {
     val edges = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint(true)
     val n = g.nodes.count().toDouble
+    if (n <= driverLimit && edges.count() <= driverLimit)
+      return eigenvectorDriver(g, edges, n, iterations)
     var x = g.nodes.toDF().select($"id", lit(1.0 / math.sqrt(n)).as("score"))
       .localCheckpoint(true)
     var i = 0
@@ -363,6 +428,47 @@ object GraphQueryOps {
     val fnorm = math.sqrt(
       x.agg(sum($"score" * $"score")).head().getDouble(0).max(1e-300))
     x.select($"id", ($"score" / fnorm).as("score"))
+  }
+
+  /** In-memory power iteration replicating the distributed loop: raw(v) =
+    * x(v) + Σ_{u~v} x(u) (neighbor sums in sorted-id order from 0.0), L2
+    * normalization every 8th iteration and at the end — the same shift,
+    * cadence, and floor as the join-aggregate path.
+    */
+  private def eigenvectorDriver(g: Graph, und: DataFrame, n: Double,
+                                iterations: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val ids = g.nodes.toDF().select($"id").as[String].collect().sorted
+    val idx = ids.zipWithIndex.toMap
+    val nbrs = und.collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => idx.contains(p._1) && idx.contains(p._2))
+      .sortBy(_._1).groupBy(_._2)
+      .map { case (d, ps) => idx(d) -> ps.map(p => idx(p._1)) }
+    var x = Array.fill(ids.length)(1.0 / math.sqrt(n))
+    var i = 0
+    while (i < iterations) {
+      val raw = new Array[Double](ids.length)
+      var v = 0
+      while (v < ids.length) {
+        var s = 0.0
+        nbrs.get(v).foreach(_.foreach(u => s += x(u)))
+        raw(v) = x(v) + s
+        v += 1
+      }
+      if (i % 8 == 7) {
+        var sq = 0.0
+        raw.foreach(r => sq += r * r)
+        val norm = math.sqrt(sq.max(1e-300))
+        x = raw.map(_ / norm)
+      } else x = raw
+      i += 1
+    }
+    var sq = 0.0
+    x.foreach(r => sq += r * r)
+    val fnorm = math.sqrt(sq.max(1e-300))
+    spark.createDataset(ids.toIndexedSeq.map(id => (id, x(idx(id)) / fnorm)))
+      .toDF("id", "score")
   }
 
   /** Deterministic source sample for the sampled centralities: the s node

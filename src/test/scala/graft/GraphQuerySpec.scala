@@ -271,6 +271,35 @@ class GraphQuerySpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6, s"sum=$total")
   }
 
+  test("centrality driver fast path ≡ distributed join-aggregate loop") {
+    import spark.implicits._
+    import graft.model.{Entity, Triple}
+    def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
+    def rel(id: String, s: String, d: String) =
+      Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
+    // 40 nodes, hubs + a dangling tail, deterministic pseudo-random wiring
+    val nodes = (0 until 40).map(i => ent(f"n$i%02d"))
+    val edges = (0 until 120).map { i =>
+      rel(s"e$i", f"n${i * 7 % 40}%02d", f"n${(i * 13 + 3) % 37}%02d")
+    }
+    val gg = graft.graphout.GraphBuilder.Graph(nodes.toDS(), edges.toDS())
+    def toMap(df: org.apache.spark.sql.DataFrame, col: String) =
+      df.collect().map(r => r.getAs[String]("id") -> r.getAs[Double](col)).toMap
+
+    val prFast = toMap(GraphQueryOps.pagerank(gg, iterations = 10), "rank")
+    val prDist = toMap(GraphQueryOps.pagerank(gg, iterations = 10, driverLimit = 0), "rank")
+    assert(prFast.keySet == prDist.keySet)
+    prFast.foreach { case (k, v) =>
+      assert(math.abs(v - prDist(k)) < 1e-9, s"$k: $v vs ${prDist(k)}") }
+
+    val evFast = toMap(GraphQueryOps.eigenvectorCentrality(gg, iterations = 20), "score")
+    val evDist = toMap(GraphQueryOps.eigenvectorCentrality(gg, iterations = 20,
+      driverLimit = 0), "score")
+    assert(evFast.keySet == evDist.keySet)
+    evFast.foreach { case (k, v) =>
+      assert(math.abs(v - evDist(k)) < 1e-9, s"$k: $v vs ${evDist(k)}") }
+  }
+
   test("relationships between pair / of entity (graph.py:218-281)") {
     assert(GraphQueryOps.relationshipsBetween(g, "alice", "company_x").count() == 1)
     assert(GraphQueryOps.relationshipsOf(g, "company_x").count() == 4)
