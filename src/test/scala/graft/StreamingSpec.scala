@@ -28,6 +28,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup: first arrival kept, in-horizon duplicates dropped, state evicted past watermark") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("dedup-ckpt").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val q = StreamingDedup.exactDedup(source.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // batch 1: two distinct texts + one duplicate → 2 rows out
+    source.addData(Doc(1, ts(0), "alpha text"), Doc(2, ts(1), "beta text"),
+      Doc(3, ts(2), "alpha text"))
+    q.processAllAvailable()
+    // batch 2: duplicate arrives within the horizon → dropped
+    source.addData(Doc(4, ts(3), "beta text"))
+    q.processAllAvailable()
+    def ids() = spark.table("dedup_out").as[(Long, java.sql.Timestamp, String, String)]
+      .collect().map(_._1).toSet
+    assert(ids() == Set(1L, 2L), ids().toString)
+
+    // advance the watermark far past the originals, then re-send a dup:
+    // state was evicted, so the late duplicate is re-emitted — the
+    // documented at-least-once horizon contract
+    source.addData(Doc(5, ts(100), "gamma text"))
+    q.processAllAvailable()
+    source.addData(Doc(6, ts(101), "alpha text"))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids() == Set(1L, 2L, 5L, 6L), ids().toString)
+  }
+
   test("stateful streaming sessionization: gap closes on arrival, watermark timeout closes the tail") {
     import spark.implicits._
     import graft.streaming.StreamingSessions
