@@ -170,7 +170,7 @@ object Queries {
       .select(col("embedding").as("q"))
     val joined = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+      graft.ops.Ann.dot(a.cast("array<double>"), b.cast("array<double>"))
     joined
       .select(col("vec_id"), col("label"),
         round(dot(col("embedding").cast("array<double>"), col("q")) /

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native one-pass dot product (bit-identical sequential fold — see
+    * [[graft.functions.DotProduct]]); [[dotSpec]] is the declarative HOF
+    * form kept as the property-test oracle.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  def dotSpec(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -210,28 +210,37 @@ object Dedup {
     * component sin(seed * 12.9898 + dim * 78.233) — reproducible across
     * runs/parallelism with zero data movement.
     */
+  /** DECLARATIVE SPEC of one hyperplane band signature (kept as the
+    * property-test oracle for [[graft.functions.HyperplaneSignatures]],
+    * mirroring [[minhashes]]/[[simhash]]'s role): nBands×rBits of these
+    * per row are interpreted HOF trees — the LSH path uses the native
+    * one-pass expression instead.
+    */
+  def bandSigSpec(v: Column, band: Int, rBits: Int = 8): Column = {
+    val bits = (0 until rBits).map { bit =>
+      val seed = (band * rBits + bit + 1).toDouble
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * sin(lit(seed * 12.9898) + i * 78.233)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1 << bit)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
   def embeddingNearDup(emb: DataFrame, vecCol: String = "embedding",
                        idCol: String = "vec_id", threshold: Double = 0.95,
                        nBands: Int = 8, rBits: Int = 8,
                        maxBucket: Int = 1024): DataFrame = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def bandSig(v: Column, band: Int): Column = {
-      val bits = (0 until rBits).map { bit =>
-        val seed = (band * rBits + bit + 1).toDouble
-        val d = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * sin(lit(seed * 12.9898) + i * 78.233)),
-          lit(0.0), (acc, x) => acc + x)
-        when(d > 0, lit(1 << bit)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
+    def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    // all band signatures in ONE native pass (the declarative bandSigSpec
+    // is 64 interpreted HOF trees per row — the minhash/simhash trap at
+    // embedding width; bit-identical by construction, see the expression)
     val banded = v.select(col("id"), col("v"), col("norm"),
-      posexplode(array((0 until nBands).map(b => bandSig(col("v"), b)): _*))
+      posexplode(graft.functions.HyperplaneSignatures(col("v"), nBands, rBits))
         .as(Seq("band", "sig")))
     graft.runtime.Observed.install(emb.sparkSession)
     val w = org.apache.spark.sql.expressions.Window

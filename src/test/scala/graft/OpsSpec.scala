@@ -110,6 +110,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
   }
 
+  test("native DotProduct is bit-identical to the declarative fold spec") {
+    import spark.implicits._
+    val vecs = (0 until 25).map { i =>
+      (Array.tabulate(33)(d => math.sin(i * 2.17 + d * 0.73)),
+       Array.tabulate(33)(d => math.cos(i * 1.41 + d * 1.19)))
+    }.toDF("a", "b")
+    vecs.select(
+      graft.ops.Ann.dot($"a", $"b").as("native"),
+      graft.ops.Ann.dotSpec($"a", $"b").as("spec"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1),
+          s"native=${r.getDouble(0)} spec=${r.getDouble(1)}")
+      }
+  }
+
+  test("native HyperplaneSignatures equals the declarative band-signature spec") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(19)(d => math.sin(i * 3.91 + d * 1.37)))
+    }.toDF("vec_id", "v")
+    val nBands = 8; val rBits = 8
+    val withBoth = vecs.select($"vec_id",
+      graft.functions.HyperplaneSignatures($"v", nBands, rBits).as("native"),
+      array((0 until nBands).map(b => Dedup.bandSigSpec($"v", b, rBits)): _*).as("spec"))
+    withBoth.collect().foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: native=${r.getSeq[Int](1)} spec=${r.getSeq[Int](2)}")
+    }
+  }
+
   test("multi-band embedding LSH reaches full recall vs brute force on planted near-dups") {
     import spark.implicits._
     // 40 random-ish vectors + 10 planted near-duplicates (tiny perturbation)
