@@ -101,7 +101,9 @@ object Dedup {
       .join(sigs.select(col("id").as("idA"), col("mh").as("mhA")), Seq("idA"))
       .join(sigs.select(col("id").as("idB"), col("mh").as("mhB")), Seq("idB"))
       .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("mhA"), col("mhB"), (x, y) => x === y), b => b))
+        // native agreement count: the zip_with+filter+size spec is three
+        // interpreted HOF walks per candidate pair
+        (graft.functions.ArrayEqCount(col("mhA"), col("mhB"))
           .cast("double") / k).as("jaccard_est"))
   }
 

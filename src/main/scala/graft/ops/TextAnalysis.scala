@@ -23,8 +23,21 @@ object TextAnalysis {
     "ru" -> Seq("и", "в", "не", "на", "что", "с", "это", "как", "по", "из")
   )
 
-  /** Per-language stopword hit counts + argmax language guess. */
+  /** Per-language stopword hit counts + argmax language guess, via the
+    * native one-pass [[graft.functions.LangGuess]] kernel (the
+    * declarative [[languageIdSpec]] re-evaluates the tokenize subtree
+    * interpreted once per language plus twice for the argmax sort — the
+    * HOF CodegenFallback trap at k=5; kept as the property-test spec).
+    */
   def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val g = graft.functions.LangGuess(col(textCol), StopwordLexicon)
+    docs.select(col(idCol),
+      g.getField("lang").as("lang_guess"),
+      g.getField("hits").as("lang_hits"))
+  }
+
+  /** DECLARATIVE SPEC of [[languageId]] (property-test oracle). */
+  def languageIdSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(lower(substring(col(textCol), 1, 1000)), "\\s+")
     val scores = StopwordLexicon.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(

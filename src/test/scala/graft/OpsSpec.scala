@@ -235,6 +235,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[String]("lang_guess") == "de")
   }
 
+  test("native LangGuess equals the declarative languageId spec on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = TextAnalysis.languageId(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_guess"), r.getAs[Int]("lang_hits"))).toSet
+    val spec = TextAnalysis.languageIdSpec(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_guess"), r.getAs[Int]("lang_hits"))).toSet
+    assert(native == spec)
+    // tie-break pin: zero hits everywhere → lexicographically largest lang
+    import spark.implicits._
+    val none = Seq((9L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(none).head()
+    assert(r.getString(1) == "ru" && r.getInt(2) == 0, r.toString)
+  }
+
   test("language fallback matches the reference table and respects `supported`") {
     import spark.implicits._
     val docs = Seq("en", "ru", "uk", "be", "de", "pt", "pl", "zh", "xx")
