@@ -94,23 +94,6 @@ object SimilarityAccept {
         org.apache.spark.sql.graftshim.GraftSql.expression(b)))
 }
 
-/**
- * Session extensions: registers graft's native functions for SQL use.
- * Activate with
- * `SparkSession.builder.withExtensions(new GraftExtensions)` or
- * `spark.sql.extensions=graft.functions.GraftExtensions`.
- */
-class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_similarity"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimilarityScore].getName, "graft_similarity"),
-        (children: Seq[Expression]) => SimilarityScore(children(0), children(1))))
-    e.injectFunction(
-      (new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_similarity_accept"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimilarityAccept].getName, "graft_similarity_accept"),
-        (children: Seq[Expression]) => SimilarityAccept(children(0), children(1))))
-  }
-}
+// Session extensions for SQL registration live in
+// [[graft.functions.GraftExtensions]] (GraftFunctions.scala), which
+// covers every graft kernel, these two included.

@@ -32,7 +32,12 @@ object CheckpointedPipeline {
     import spark.implicits._
     val cp = new Checkpoint(spark, root)
 
-    val corpus = cp.runStage("00_corpus", Nil) {
+    // PARTITION-granular commits on the widest stage (the north rule's
+    // unit): the corpus is hash-bucketed on path, each bucket committed
+    // independently — a kill mid-ingest resumes recomputing only
+    // uncommitted buckets. Downstream stages are cheap relative to their
+    // inputs and commit at stage granularity.
+    val corpus = cp.runStagePartitioned("00_corpus", Nil, bucketCol = "path") {
       CorpusGen.generate(spark, nFiles, seed).toDF()
         .withColumn("content_sha", sha2(col("content"), 256))
     }

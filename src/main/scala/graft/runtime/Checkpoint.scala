@@ -46,17 +46,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
     // registry is process-cumulative, so the manifest records the
     // before/after DELTA — a stage that dropped nothing shows no counters
     // even when an earlier stage (or run) did (round-2 advice)
-    val delta = Observed.snapshot().flatMap { case (name, m) =>
-      val prev = before.getOrElse(name, Map.empty[String, Long])
-      val d = m.map { case (k, v) => k -> (v - prev.getOrElse(k, 0L)) }
-        .filter(_._2 != 0L)
-      if (d.isEmpty) None else Some(name -> d)
-    }
-    val observed = delta
-      .map { case (name, m) =>
-        "\"" + name + "\":{" +
-          m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
-      }.mkString("{", ",", "}")
+    val observed = observedDelta(before)
     val manifest =
       s"""{"stage":"$stage","rows":$rows,"inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],
          |"wallSec":$wallSec,"observed":$observed,"ts":"${java.time.Instant.now()}"}""".stripMargin.replace("\n", "")
@@ -96,6 +86,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions._
     if (isCommitted(stage)) return readPartitioned(stage)
     val t0 = System.nanoTime()
+    val before = Observed.snapshot()
     val missing = (0 until nBuckets)
       .filterNot(b => Files.exists(bucketManifestPath(stage, b)))
     if (missing.nonEmpty) {
@@ -115,11 +106,28 @@ final class Checkpoint(spark: SparkSession, root: String) {
     val out = readPartitioned(stage)
     val rows = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
+    val observed = observedDelta(before)
     writeAtomic(manifestPath(stage),
       s"""{"stage":"$stage","rows":$rows,"buckets":$nBuckets,"resumedBuckets":${nBuckets - missing.size},""" +
         s""""inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],""" +
-        s""""wallSec":$wallSec,"ts":"${java.time.Instant.now()}"}""")
+        s""""wallSec":$wallSec,"observed":$observed,"ts":"${java.time.Instant.now()}"}""")
     out
+  }
+
+  /** Per-stage delta of the process-cumulative observed counters as a
+    * JSON object string (see runStage's lineage-record comment).
+    */
+  private def observedDelta(before: Map[String, Map[String, Long]]): String = {
+    val delta = Observed.snapshot().flatMap { case (name, m) =>
+      val prev = before.getOrElse(name, Map.empty[String, Long])
+      val d = m.map { case (k, v) => k -> (v - prev.getOrElse(k, 0L)) }
+        .filter(_._2 != 0L)
+      if (d.isEmpty) None else Some(name -> d)
+    }
+    delta.map { case (name, m) =>
+      "\"" + name + "\":{" +
+        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
   }
 
   /** Read a bucket-partitioned stage, dropping the discovery column. */

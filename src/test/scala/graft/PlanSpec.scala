@@ -115,6 +115,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every graft kernel is callable from pure SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64('alpha beta gamma') AS sh,
+        |  graft_minhash('a b c d e', 8, 3) AS mh,
+        |  size(graft_shingle_hashes('a b c d e', 3)) AS nsh,
+        |  graft_regex_any(array('foo', 'bar42'), 'r4\\d') AS anym,
+        |  graft_hyperplane_sigs(array(CAST(0.3 AS DOUBLE), -0.7, 0.2), 8, 8) AS hp,
+        |  graft_dot(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0)) AS d,
+        |  graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
+        |  graft_lang_guess('the cat and the dog in the house').lang AS lg,
+        |  graft_similarity('KnowledgeGraph', 'knowledge_graph') AS sim
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
+    assert(r.getAs[Int]("nsh") == 3)
+    assert(r.getAs[Boolean]("anym"))
+    assert(r.getAs[scala.collection.Seq[Int]]("hp").length == 8)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("eq") == 2)
+    assert(r.getAs[String]("lg") == "en")
+    assert(r.getAs[Double]("sim") >= 0.9)
+  }
+
   test("text search filters stay in whole-stage codegen — no HOF fallback (round-2 item 3)") {
     import spark.implicits._
     val nodes = spark.range(200).select(
