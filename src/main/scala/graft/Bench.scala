@@ -130,16 +130,20 @@ object Bench {
     def arr(xs: Seq[(Double, Double, Long)]): String =
       xs.map { case (s, c, st) =>
         f"""{"sec":$s%.2f,"calMBs":$c%.0f,"stealPermille":$st}""" }.mkString("[", ",", "]")
-    // every catalog entry is accounted for: timed in "queries" or named in
+    // every catalog entry is accounted for: timed in "queries", named in
+    // "failed" (the query THREW — e.g. kg_tripleset's in-run P/R
+    // invariant; a timing would disguise the failure), or named in
     // "skipped" (budget-expired before its turn) — absence was silent in
     // round 2 (the bench's own no-silent-caps rule applied to itself)
     val allQueryNames = SparkEntry.queries.keys.toSeq.sorted
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     def assemble(kg: String, qs: Seq[(String, Double)], total: Double): String = {
       val q = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      val done = qs.map(_._1).toSet
+      val done = qs.map(_._1).toSet ++ failedNames
+      val failed = failedNames.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skipped = allQueryNames.filterNot(done)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"failed":$failed,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
     }
 
     // ---- 1. the required signal: interleaved scaling (high, low)×rounds.
@@ -189,8 +193,16 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (remaining() > 45) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        results += name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          results += name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case t: Throwable =>
+            // a throwing query goes in "failed", never gets a timing —
+            // a normal-looking number would disguise a broken invariant
+            failedNames += name
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
         jsonRef.set(assemble(kg, results.toSeq, results.map(_._2).sum + tHigh))
       }
     }

@@ -630,7 +630,12 @@ object Queries {
     * counts absent 64-bit collisions (P ≈ 1e-14 at this corpus size).
     */
   val q45_ngram_jaccard: Q = (s, d) => {
-    val docs = t(s, d, "documents").where(col("doc_id") < 40)
+    // ≥3-token guard mirrors the oracle's sz-CTE inner joins: a doc with
+    // no 3-gram shingles would be dropped by the oracle's sz join but
+    // kept (jaccard NaN) by the unconditional pair build — symmetric
+    // filters keep both row sets identical on any corpus
+    val docs = t(s, d, "documents").where(col("doc_id") < 40 &&
+      size(split(col("text"), "\\s+")) >= 3)
     val ids = docs.select(col("doc_id"))
     val pairs = ids.select(col("doc_id").as("idA"))
       .crossJoin(ids.select(col("doc_id").as("idB")))
@@ -984,7 +989,8 @@ object Queries {
     },
     "q45_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
-        |  FROM documents WHERE doc_id < 40),
+        |  FROM documents
+        |  WHERE doc_id < 40 AND len(string_split_regex(text, '\s+')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tk)),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

@@ -72,10 +72,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, _, builder) =>
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
 }

@@ -30,8 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
  * process-wide — computed once, not per row.
  */
 case class HyperplaneSignatures(child: Expression, nBands: Int, rBits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -122,8 +125,12 @@ object HyperplaneSignatures {
  * non-null, so the case is unreachable in the pipelines.
  */
 case class DotProduct(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+      ArrayType(org.apache.spark.sql.types.DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 

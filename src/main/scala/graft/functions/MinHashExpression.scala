@@ -27,8 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * (documented degenerate bucket — such docs only collide with each other).
  */
 case class MinHashSignature(child: Expression, k: Int, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -89,8 +92,11 @@ object MinHashSignature {
  * HOF evaluation per row; this is the exact-Jaccard verifier's scan
  * kernel, so it runs over every candidate document).
  */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 

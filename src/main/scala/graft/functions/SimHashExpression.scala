@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * the fingerprint is set iff strictly more than half the distinct tokens
  * have bit i set.
  */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
@@ -93,8 +96,11 @@ object SimHash64 {
  * the pattern once per task and loops imperatively inside codegen, so the
  * text-search filters (graph_query.py:689-724 semantics) stay fused.
  */
-case class RegexAnyMatch(child: Expression, pattern: String) extends UnaryExpression {
+case class RegexAnyMatch(child: Expression, pattern: String) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = child.nullable
 

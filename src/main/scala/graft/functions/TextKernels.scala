@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class LangGuess(child: Expression, lexicon: Seq[(String, Seq[String])],
                      prefixLen: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = StructType(Seq(
     StructField("lang", StringType, nullable = false),
@@ -115,8 +118,11 @@ object LangGuess {
  * interpreted HOF walks per candidate PAIR. Length mismatches count over
  * the common prefix (unreachable: signatures are fixed-k).
  */
-case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable
 

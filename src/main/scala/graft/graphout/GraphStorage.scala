@@ -54,6 +54,13 @@ final class GraphStorage(spark: SparkSession, root: String) {
     * at write time. Tables land in the session catalog/warehouse (the
     * path-based parquet writer cannot carry bucket metadata).
     */
+  /** Catalog table names carry a root-derived tag: the session catalog is
+    * process-global, so two GraphStorage instances with different roots
+    * saving the same graph name must not hijack each other's tables.
+    */
+  private def bucketTable(name: String, side: String): String =
+    s"graft_${name}_${side}_" + graft.model.Ids.contentSha(root).take(8)
+
   def saveBucketed(name: String, g: Graph, buckets: Int = 64): Unit = {
     require(name.matches("[A-Za-z0-9_]+"), s"table-safe name required: $name")
     // external tables under this storage's root (not the session
@@ -67,15 +74,15 @@ final class GraphStorage(spark: SparkSession, root: String) {
         .option("path", path)
         .format("parquet").saveAsTable(table)
     }
-    write(g.nodes.toDF(), s"${name}_nodes", "id", s"${dir(name)}/bucketed/nodes")
-    write(g.edges.toDF(), s"${name}_edges", "srcId", s"${dir(name)}/bucketed/edges")
+    write(g.nodes.toDF(), bucketTable(name, "nodes"), "id", s"${dir(name)}/bucketed/nodes")
+    write(g.edges.toDF(), bucketTable(name, "edges"), "srcId", s"${dir(name)}/bucketed/edges")
   }
 
   def loadBucketed(name: String): Graph = {
     import spark.implicits._
     Graph(
-      spark.table(s"${name}_nodes").as[Entity],
-      spark.table(s"${name}_edges").as[Triple])
+      spark.table(bucketTable(name, "nodes")).as[Entity],
+      spark.table(bucketTable(name, "edges")).as[Triple])
   }
 
   /** S7 load by name, optionally a specific version (graph_storage.py:103-139). */

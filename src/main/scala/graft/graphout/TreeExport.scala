@@ -55,7 +55,15 @@ object TreeExport {
       maxNodes: Int = 10000): String = {
     val flat = graft.query.GraphQueryOps
       .traverse(g, startId, maxDepth, direction, relTypes, entityTypes)
-    val rows = flat.limit(maxNodes + 1).collect()
+    // deterministic shallow-first truncation: ordering by depth keeps a
+    // complete depth-prefix, so a kept row's parent is always kept — the
+    // cap can never orphan a subtree, and the same call yields the same
+    // string (an unordered limit() keeps partition-order-dependent rows)
+    val rows = flat
+      .orderBy(org.apache.spark.sql.functions.col("depth"),
+        org.apache.spark.sql.functions.col("parentId"),
+        org.apache.spark.sql.functions.col("childId"))
+      .limit(maxNodes + 1).collect()
     if (rows.length > maxNodes)
       graft.runtime.Observed.record("tree_export_cap",
         Map("truncatedAtNodes" -> maxNodes.toLong))
@@ -91,13 +99,20 @@ object TreeExport {
     val kept = rows.take(maxNodes)
     val byParent = kept.filter(_.parentId.isDefined).groupBy(_.parentId.get)
     // cycle guard: an IMPORTED segment table carries no acyclicity
-    // guarantee — a parent_id loop must not hang the exporter
+    // guarantee — a parent_id loop must not hang the exporter; a depth
+    // bound keeps a degenerate 10^5-deep parent chain from blowing the
+    // stack (engine-built hierarchies are ≤ 4 levels)
+    val maxTreeDepth = 1000
+    var emitted = 0
     val onPath = scala.collection.mutable.Set.empty[String]
     def build(s: Segment): String = {
+      emitted += 1
       onPath += s.segId
-      val children = byParent.getOrElse(s.segId, Array.empty)
-        .filterNot(c => onPath.contains(c.segId))
-        .sortBy(c => (c.start, c.segId)).map(build)
+      val children =
+        if (onPath.size >= maxTreeDepth) Array.empty[String]
+        else byParent.getOrElse(s.segId, Array.empty)
+          .filterNot(c => onPath.contains(c.segId))
+          .sortBy(c => (c.start, c.segId)).map(build)
       onPath -= s.segId
       s"""{"id":${js(s.segId)},"text":${js(s.text)},""" +
         s""""segment_type":${js(s.segType)},"level":${s.level},""" +
@@ -108,6 +123,11 @@ object TreeExport {
         s""""children":[${children.mkString(",")}]}"""
     }
     val roots = kept.filter(_.parentId.isEmpty).sortBy(s => (s.start, s.segId)).map(build)
+    // no-silent-caps: nodes unreachable from any root (cycles with no
+    // rootward path, depth-bound cutoffs) are counted, never dropped mute
+    if (emitted < kept.length)
+      graft.runtime.Observed.record("tree_export_orphans",
+        Map("unreachableNodes" -> (kept.length - emitted).toLong))
     s"""{"segments":[${roots.mkString(",")}]}"""
   }
 }

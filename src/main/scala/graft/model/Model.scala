@@ -136,6 +136,12 @@ object Ids {
     */
   def fileSegId(repo: String, path: String, commit: String): String =
     sha256Hex(s"$repo|$path|$commit|file").take(32)
+  /** Sections likewise (a heading-only section spans exactly its single
+    * paragraph child — same (start, end), so span-derived ids would
+    * collide container with child).
+    */
+  def sectionSegId(repo: String, path: String, commit: String, start: Long, end: Long): String =
+    sha256Hex(s"$repo|$path|$commit|section|$start|$end").take(32)
   def entityId(normName: String, entityType: String): String =
     sha256Hex(s"$normName|$entityType").take(32)
   def tripleId(srcId: String, relType: String, dstId: String, segId: String): String =

@@ -87,6 +87,19 @@ final class Checkpoint(spark: SparkSession, root: String) {
     if (isCommitted(stage)) return readPartitioned(stage)
     val t0 = System.nanoTime()
     val before = Observed.snapshot()
+    // the bucket count IS the data's hash modulus: resuming with a
+    // different nBuckets would silently mix two bucketing schemes, so the
+    // scheme is committed first and validated on every resume
+    val schemePath = Paths.get(s"$root/$stage/_BUCKETING.json")
+    if (Files.exists(schemePath)) {
+      val committed = Files.readString(schemePath)
+      require(committed.contains(s""""nBuckets":$nBuckets""") &&
+        committed.contains(s""""bucketCol":"$bucketCol""""),
+        s"stage $stage was partially committed with a different bucketing " +
+          s"scheme ($committed); resume with the original nBuckets/bucketCol " +
+          "or clear the stage directory")
+    } else writeAtomic(schemePath,
+      s"""{"stage":"$stage","bucketCol":"$bucketCol","nBuckets":$nBuckets}""")
     val missing = (0 until nBuckets)
       .filterNot(b => Files.exists(bucketManifestPath(stage, b)))
     if (missing.nonEmpty) {

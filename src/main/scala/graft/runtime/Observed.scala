@@ -35,7 +35,32 @@ object Observed {
     * (round-2 advice). [[get]]/[[snapshot]] aggregate the `#n`-suffixed
     * entries back under the logical prefix.
     */
-  def name(prefix: String): String = prefix + "#" + nameCounter.incrementAndGet()
+  def name(prefix: String): String = {
+    if (values.size() > CompactThreshold) compact()
+    prefix + "#" + nameCounter.incrementAndGet()
+  }
+
+  private val CompactThreshold = 8192
+
+  /** Fold every `#n`-suffixed entry into its bare-prefix sum entry: one
+    * registry entry is minted per operator call site, so a long-lived
+    * process (streaming driver, many bench rounds) would otherwise grow
+    * the map without bound and every snapshot would re-scan dead history.
+    * Prefix-aggregation semantics are unchanged. (Known imprecision: a
+    * query re-executed AFTER its entry was folded re-reports under a
+    * fresh suffix and sums instead of overwriting — advisory counters,
+    * biased only upward, never silent-zero.)
+    */
+  private def compact(): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    values.keySet.asScala.filter(_.contains('#')).toSeq.foreach { k =>
+      val m = values.remove(k)
+      if (m != null)
+        values.merge(prefixOf(k), m, (a, b) =>
+          b.foldLeft(a) { case (acc, (mk, mv)) =>
+            acc.updated(mk, acc.getOrElse(mk, 0L) + mv) })
+    }
+  }
 
   /** Record a driver-computed counter (e.g. a probe job's count) under the
     * same no-silent-caps registry as the observe metrics.

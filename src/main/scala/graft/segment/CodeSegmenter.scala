@@ -96,13 +96,16 @@ object CodeSegmenter {
         val secStart = h.start
         val secEnd = if (idx + 1 < headers.size) headers(idx + 1).start else content.length
         val title = content.substring(h.start, h.end).dropWhile(_ == '#').trim
-        val secId = Ids.segId(f.repo, f.path, f.commit, secStart.toLong, secEnd.toLong)
+        val secId = Ids.sectionSegId(f.repo, f.path, f.commit, secStart.toLong, secEnd.toLong)
         out += Segment(secId, Some(parent), f.repo, f.path, f.lang, 1, "section",
           Some(title), content.substring(secStart, secEnd),
           secStart.toLong, secEnd.toLong, sha)
-        // body starts after the heading line (its trailing newline, if any)
-        val bodyStart = math.min(h.end + 1, secEnd)
-        out ++= paragraphBlocks(f, sha, secId, bodyStart, secEnd, 2)
+        // children cover the WHOLE section span including the heading
+        // line: the heading becomes (part of) the first paragraph child,
+        // so the leaf-only extraction surface still sees every character
+        // — mentions in headings ('# Acme Corp') must not vanish when the
+        // container level is excluded from windows()
+        out ++= paragraphBlocks(f, sha, secId, secStart, secEnd, 2)
       }
       out.toSeq
     }

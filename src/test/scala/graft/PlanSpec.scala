@@ -123,8 +123,8 @@ class PlanSpec extends SparkSpec {
         |  size(graft_shingle_hashes('a b c d e', 3)) AS nsh,
         |  graft_regex_any(array('foo', 'bar42'), 'r4\\d') AS anym,
         |  graft_hyperplane_sigs(array(CAST(0.3 AS DOUBLE), -0.7, 0.2), 8, 8) AS hp,
-        |  graft_dot(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0)) AS d,
-        |  graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
+        |  graft_dot(array(1, 2), array(3, 4)) AS d,
+        |  graft_array_eq_count(array(1, 2, 3), array(1, 9, 3)) AS eq,
         |  graft_lang_guess('the cat and the dog in the house').lang AS lg,
         |  graft_similarity('KnowledgeGraph', 'knowledge_graph') AS sim
         |""".stripMargin).head()

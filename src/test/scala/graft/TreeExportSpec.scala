@@ -49,14 +49,26 @@ class TreeExportSpec extends SparkSpec {
     val intro = sections.find(_.title.contains("Intro")).get
     val paras = segs.filter(_.segType == "paragraph")
     assert(paras.forall(_.level == 2))
-    assert(paras.count(_.parentId.contains(intro.segId)) == 2)
+    // heading line + two body paragraphs — children cover the FULL
+    // section span so heading mentions stay on the extraction surface
+    assert(paras.count(_.parentId.contains(intro.segId)) == 3)
     // root parents the sections
     val root = segs.find(_.level == 0).get
     assert(sections.forall(_.parentId.contains(root.segId)))
-    // extraction surface stays leaf-only: no section rows, no double text
+    // extraction surface stays leaf-only: no section rows, no double
+    // text, and the heading text IS on it
     val w = graft.segment.CodeSegmenter.windows(Seq(f).toDS()).collect()
     assert(w.forall(s => s.segType != "section" && s.level > 0))
     assert(w.map(_.text).mkString.length < md.length)
+    assert(w.exists(_.text.contains("# Intro")))
+    // heading-only section: single child with the SAME span must not
+    // collide ids with its container (section ids are marker-derived)
+    val only = graft.segment.CodeSegmenter.segment(
+      Seq(graft.model.CodeFile("org/r", "docs/h.md", "e" * 40, "en", "# Lone\n")).toDS())
+      .collect()
+    val sec = only.find(_.segType == "section").get
+    val kid = only.find(_.segType == "paragraph").get
+    assert(sec.segId != kid.segId && kid.parentId.contains(sec.segId))
     // nested export nests paragraphs under their section
     val json = graft.graphout.TreeExport.segmentHierarchyJson(
       graft.segment.CodeSegmenter.segment(Seq(f).toDS()))
