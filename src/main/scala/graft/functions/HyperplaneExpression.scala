@@ -110,6 +110,78 @@ object HyperplaneSignatures {
 }
 
 /**
+ * Native IVF cell assignment: argmax over the (tiny, driver-collected)
+ * centroid table of dot(v, c)/|c|, strict `>` so ties keep the earlier
+ * (smallest-cid) centroid — the exact rule of the declarative
+ * aggregate-over-literal fold in [[graft.ops.Ann.assignCells]], which
+ * remains the property-tested spec. The outer `aggregate` HOF of the
+ * spec is CodegenFallback: c interpreted fold steps per row wrapping the
+ * (native) per-centroid dots; this kernel is one fused loop.
+ */
+case class NearestCentroid(child: Expression,
+                           cids: IndexedSeq[Long],
+                           vecs: IndexedSeq[IndexedSeq[Double]],
+                           norms: IndexedSeq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val kernel =
+    new NearestCentroid.Kernel(cids.toArray, vecs.map(_.toArray).toArray, norms.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftCentroidKernel", kernel,
+      classOf[NearestCentroid.Kernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
+object NearestCentroid {
+
+  final class Kernel(cids: Array[Long], vecs: Array[Array[Double]],
+                     norms: Array[Double]) extends Serializable {
+    def compute(v: ArrayData): Long = {
+      var bestScore = Double.MinValue
+      var bestCell = -1L
+      var c = 0
+      while (c < cids.length) {
+        val cv = vecs(c)
+        val n = math.min(v.numElements(), cv.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) acc += v.getDouble(i) * cv(i)
+          i += 1
+        }
+        val score = acc / norms(c)
+        if (score > bestScore) { bestScore = score; bestCell = cids(c) }
+        c += 1
+      }
+      bestCell
+    }
+  }
+
+  def apply(vec: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      NearestCentroid(
+        org.apache.spark.sql.graftshim.GraftSql.expression(vec),
+        cents.map(_._1).toIndexedSeq,
+        cents.map(_._2.toIndexedSeq).toIndexedSeq,
+        cents.map(_._3).toIndexedSeq))
+}
+
+/**
  * Native dot product over two array<double> columns — ONE imperative
  * pass, bit-identical to the declarative spec
  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` for null-free equal-length

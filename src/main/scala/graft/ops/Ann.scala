@@ -75,13 +75,30 @@ object Ann {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents: Seq[(Long, Seq[Double], Double)] = centroids
+    val cents = collectCentroids(centroids)
+    // native fused argmax (graft_nearest_centroid): the literal-fold spec
+    // below is an interpreted HOF wrapper around the per-centroid dots —
+    // c fold steps per row; still a pure projection, zero data movement
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+        graft.functions.NearestCentroid(col("v"), cents).as("cell"))
+  }
+
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    centroids
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1)
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }.sortBy(_._1).toSeq
+
+  /** DECLARATIVE SPEC of [[assignCells]] (property-test oracle): the
+    * aggregate-over-inlined-literal argmax fold.
+    */
+  def assignCellsSpec(corpus: DataFrame, centroids: DataFrame,
+                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = collectCentroids(centroids)
     val centLit = typedlit(cents)
     val best = aggregate(
       centLit,

@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpec {
     // plan shape: zero shuffles (round-1 did crossJoin + window = exchange)
     val p = cells.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(1200))
+    // native argmax ≡ the declarative literal-fold spec, row for row
+    val viaSpec = graft.ops.Ann.assignCellsSpec(corpus, centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaNative = cells.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNative == viaSpec)
     // semantics: every vector lands on its true argmax-cosine centroid
     val cents = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
