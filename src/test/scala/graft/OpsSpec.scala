@@ -45,13 +45,20 @@ class DedupSpec extends SparkSpec {
 
   test("native SimHash64 equals the declarative bit-voting spec") {
     import spark.implicits._
-    val texts = Seq(
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("the", "fox", "tok", "北京", "café", "x", "", "a1",
+      "Spark", "spark", "и", "_", "...", "longer-token-value")
+    val fuzz = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+    }
+    val texts = (Seq(
       "the quick brown fox jumps over the lazy dog",
       "completely different content about spark sql engines",
       "a", "a b", "  leading and   irregular   whitespace text",
       (1 to 80).map(i => s"tok${i % 13}").mkString(" "),
       "unicode tökens café 北京 и слова"
-    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    ) ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("doc_id", "text")
     val both = df.select($"doc_id",
       graft.functions.SimHash64($"text").as("native"),
