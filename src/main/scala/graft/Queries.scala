@@ -320,7 +320,11 @@ object Queries {
   // ---------------------------------------------- training-data pipeline ops
 
   /** MinHash+LSH near-dup candidates verified with exact n-gram Jaccard
-    * (no SQL oracle: xxhash64 banding isn't expressible in DuckDB).
+    * (no SQL oracle: xxhash64 banding isn't expressible in DuckDB), with
+    * an IN-RUN recall invariant against the LSH-free exact sibling on a
+    * fixed doc slice (kg_tripleset's self-verify pattern, round-3 advice
+    * item 8): a silent recall collapse in the banding throws here instead
+    * of shipping an empty-but-plausible result.
     */
   val q24_minhash_dedup: Q = (s, d) => {
     val docs = t(s, d, "documents")
@@ -328,8 +332,28 @@ object Queries {
     // the LSH bands over-generate on low-vocabulary corpora
     val pairs = graft.ops.Dedup.minhashLshPairs(docs)
       .where(col("jaccard_est") >= 0.5)
-    graft.ops.Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
+    val out = graft.ops.Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
       .where(col("jaccard") >= 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact sibling over ALL pairs of a bounded slice (the q45 kernel —
+    // LSH-free): every exact-J≥0.8 slice pair the LSH path misses is a
+    // recall loss; ≥0.7 tolerates est-filter edge pairs
+    val slice = docs.where(col("doc_id") < 200 &&
+      size(split(col("text"), "\\s+")) >= 3)
+    val ids = slice.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("idA"))
+      .crossJoin(ids.select(col("doc_id").as("idB")))
+      .where(col("idA") < col("idB"))
+    val exactHigh = graft.ops.Dedup.ngramJaccard(slice, allPairs)
+      .where(col("jaccard") >= 0.8)
+    val e = exactHigh.count()
+    if (e > 0) {
+      val hit = out.join(exactHigh.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
+        .count()
+      require(hit.toDouble / e >= 0.7,
+        s"minhash LSH recall collapsed: $hit of $e exact-J>=0.8 pairs on doc_id<200")
+    }
+    out
   }
 
   /** SimHash near-dup candidates (rows-only). */
@@ -350,17 +374,54 @@ object Queries {
   }
 
   /** Embedding near-dup via hyperplane-LSH blocking (rows-only: recall<1
-    * by design vs the brute-force oracle above).
+    * by design vs the brute-force oracle above), with an IN-RUN recall
+    * invariant: very-high-similarity pairs (cos ≥ 0.9, where the 8×8-bit
+    * banding has ≥0.93 hit probability and the deterministic planes make
+    * the outcome reproducible) found by brute force on a bounded slice
+    * must be found by the LSH path too.
     */
-  val q27_embed_neardup_lsh: Q = (s, d) =>
-    graft.ops.Dedup.embeddingNearDup(t(s, d, "embeddings"), threshold = 0.4)
+  val q27_embed_neardup_lsh: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val out = graft.ops.Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = emb.where(col("vec_id") < 500)
+    val a = e.select(col("vec_id").as("idA"), col("embedding").cast("array<double>").as("va"))
+    val b = e.select(col("vec_id").as("idB"), col("embedding").cast("array<double>").as("vb"))
+    val exactHigh = a.crossJoin(b).where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        graft.ops.Ann.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= 0.9)
+    val ecnt = exactHigh.count()
+    if (ecnt > 0) {
+      val hit = out.join(exactHigh.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
+        .count()
+      require(hit.toDouble / ecnt >= 0.6,
+        s"hyperplane LSH recall collapsed: $hit of $ecnt cos>=0.9 pairs on vec_id<500")
+    }
+    out
+  }
 
-  /** IVF approximate top-k ANN (rows-only: approximate by construction). */
+  /** IVF approximate top-k ANN (rows-only: approximate by construction),
+    * with an IN-RUN recall@10 invariant against the exact brute-force
+    * sibling for the same 4 queries.
+    */
   val q28_ann_ivf: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     val queries = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("embedding"))
-    graft.ops.Ann.ivfTopK(emb, queries, c = 16, nProbe = 4, k = 10)
+    val out = graft.ops.Ann.ivfTopK(emb, queries, c = 16, nProbe = 4, k = 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.ops.Ann.bruteForceTopK(emb, queries, k = 10)
+    val total = exact.count()
+    val hit = out.select("qid", "id")
+      .join(exact.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
+    // natural recall for nProbe=4 of 16 cells measures ≈0.30–0.48 on the
+    // synthetic corpora (the scale/recall trade is the operator's point);
+    // the invariant is a COLLAPSE detector — a broken cell assignment or
+    // probe selection lands near zero, never near the natural band
+    require(total > 0 && hit.toDouble / total >= 0.25,
+      s"IVF recall@10 collapsed: $hit of $total (nProbe=4 of c=16 cells)")
+    out
   }
 
   /** Language-ID heuristic (rows-only; deterministic lexicon argmax). */
@@ -714,10 +775,104 @@ object Queries {
       r = nr
       it += 1
     }
-    def r6(x: Double): String =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
     ("hub" -> r6(h)) +: (0 until 25).map(i => s"nation_$i" -> r6(r(i)))
+  }
+
+  /** Spark's round(double, 6) semantics for oracle literals (HALF_UP). */
+  private def r6(x: Double): String =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** Planted directed chain nation_0 → nation_1 → … → nation_{len-1}:
+    * closed-form closeness and betweenness, unique shortest paths
+    * (σ ≡ 1), in-degree ≤ 1 so no distributed fp-sum order can perturb
+    * the result. Shared by q47/q48.
+    */
+  private def chainGraph(s: SparkSession, d: String, len: Int): Graph = {
+    import s.implicits._
+    val nodes = tpchGraph(s, d).nodes.toDF()
+      .where(col("id").startsWith("nation_") &&
+        substring_index(col("id"), "_", -1).cast("int") < len).as[Entity]
+    val chain = t(s, d, "nation").where(col("n_nationkey") < len - 1).select(
+      concat(lit("ch_"), col("n_nationkey")).as("id"),
+      concat(lit("nation_"), col("n_nationkey")).as("srcId"),
+      concat(lit("nation_"), col("n_nationkey") + 1).as("dstId"),
+      lit("next").as("relType"), lit(1.0).as("confidence"), lit("").as("segId"))
+    Graph(nodes, plainEdge(chain).as[Triple])
+  }
+
+  private val ChainLen = 12
+
+  /** Q9 closeness centrality on the planted chain — sampled Eppstein–Wang
+    * run with samples ≥ |V| (so the estimator is EXACT Wasserman–Faust
+    * closeness; round-3 advice item 3: the sampled estimator had no
+    * driver oracle). Incoming distances: node v is reached by the v
+    * predecessors at total distance v(v+1)/2.
+    */
+  val q47_closeness: Q = (s, d) =>
+    graft.query.GraphQueryOps.closenessCentrality(
+      chainGraph(s, d, ChainLen), samples = 64, maxDepth = 15)
+      .select(col("id"), round(col("closeness"), 6).as("closeness_r6"))
+
+  /** Driver-side replica of q47's arithmetic: the IDENTICAL expression
+    * tree — (reached·reached·f) / ((n−1)·Σd) with f = n/sCount — on the
+    * closed-form reach counts, then Spark's HALF_UP round(·, 6).
+    */
+  private lazy val q47Expected: Seq[(String, String)] = {
+    val n = ChainLen.toDouble
+    val f = n / ChainLen.toDouble // sCount = |V|: the sample is every node
+    (0 until ChainLen).map { v =>
+      val sumDist = v.toLong * (v + 1) / 2
+      val c = if (sumDist > 0) (v.toLong * v) * f / ((n - 1) * sumDist) else 0.0
+      s"nation_$v" -> r6(c)
+    }
+  }
+
+  /** Q9 betweenness centrality on the planted chain — sampled Brandes run
+    * with samples ≥ |V| (EXACT; normalized, endpoints excluded): node v
+    * lies on the unique path of the v·(len−1−v) ordered pairs strictly
+    * around it.
+    */
+  val q48_betweenness: Q = (s, d) =>
+    graft.query.GraphQueryOps.betweennessCentrality(
+      chainGraph(s, d, ChainLen), samples = 64, maxDepth = 15)
+      .select(col("id"), round(col("betweenness"), 6).as("betweenness_r6"))
+
+  /** Driver-side replica of q48: rawDelta(v) = v·(len−1−v) (integer-exact
+    * double sums), scale = (n/sCount)/((n−1)(n−2)) — the identical ops.
+    */
+  private lazy val q48Expected: Seq[(String, String)] = {
+    val n = ChainLen.toDouble
+    val scale = (n / ChainLen.toDouble) / ((n - 1) * (n - 2))
+    (0 until ChainLen).map { v =>
+      s"nation_$v" -> r6((v.toLong * (ChainLen - 1 - v)).toDouble * scale)
+    }
+  }
+
+  /** G4 full graph stats on a planted triangle-plus-spokes graph with
+    * closed-form clustering / connectivity / avg-path (round-3 advice
+    * item 4: `kg_stats` runs full=false, so the expensive metrics had no
+    * driver coverage). Triangle t0-t1-t2 plus spokes t0→s1, t0→s2:
+    * clustering = (1/6 + 1 + 1 + 0 + 0)/5, connected, avg path 1.5
+    * (sampled estimators run with samples ≥ |V| ⇒ exact).
+    */
+  val kg_stats_full: Q = (s, _) => {
+    import s.implicits._
+    val nodes = Seq("t0", "t1", "t2", "s1", "s2").toDF("id")
+      .withColumn("name", upper(col("id")))
+      .withColumn("entityType", lit("thing"))
+      .withColumn("context", lit(null).cast("string"))
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .withColumn("confidence", lit(1.0))
+      .withColumn("segId", lit("")).withColumn("repo", lit(""))
+      .withColumn("path", lit("")).withColumn("contentSha", lit("")).as[Entity]
+    val edges = plainEdge(Seq(
+      ("e1", "t0", "t1"), ("e2", "t1", "t2"), ("e3", "t2", "t0"),
+      ("e4", "t0", "s1"), ("e5", "t0", "s2")).toDF("id", "srcId", "dstId")
+      .withColumn("relType", lit("linked"))
+      .withColumn("confidence", lit(1.0)).withColumn("segId", lit(""))).as[Triple]
+    graft.graphout.GraphBuilder.stats(Graph(nodes, edges), full = true)
+      .select(col("key"), round(col("value"), 6).as("value_r6"))
   }
 
   // ---------------------------------------------------------------- catalog
@@ -769,6 +924,9 @@ object Queries {
     "q44_eigenvector" -> q44_eigenvector,
     "q45_ngram_jaccard" -> q45_ngram_jaccard,
     "q46_pagerank" -> q46_pagerank,
+    "q47_closeness" -> q47_closeness,
+    "q48_betweenness" -> q48_betweenness,
+    "kg_stats_full" -> kg_stats_full,
     // engine-native (no SQL oracle → rows-only driver check, but
     // kg_tripleset self-verifies in-run against the independent
     // closed-form parser — P/R ≥ 0.95 or the entry throws)
@@ -1019,6 +1177,20 @@ object Queries {
       ("SELECT id, CAST(rank_str AS DOUBLE) AS rank_r6 FROM (VALUES " +
         q46Expected.map { case (id, v) => s"('$id', '$v')" }.mkString(", ") +
         ") AS t(id, rank_str)"),
+    "q47_closeness" ->
+      ("SELECT id, CAST(v AS DOUBLE) AS closeness_r6 FROM (VALUES " +
+        q47Expected.map { case (id, v) => s"('$id', '$v')" }.mkString(", ") +
+        ") AS t(id, v)"),
+    "q48_betweenness" ->
+      ("SELECT id, CAST(v AS DOUBLE) AS betweenness_r6 FROM (VALUES " +
+        q48Expected.map { case (id, v) => s"('$id', '$v')" }.mkString(", ") +
+        ") AS t(id, v)"),
+    "kg_stats_full" ->
+      """SELECT key, CAST(v AS DOUBLE) AS value_r6 FROM (VALUES
+        |  ('nodes', '5.0'), ('edges', '5.0'), ('density', '0.25'),
+        |  ('avg_clustering', '0.433333'), ('is_connected', '1.0'),
+        |  ('avg_shortest_path', '1.5'),
+        |  ('entity:thing', '5.0'), ('rel:linked', '5.0')) AS t(key, v)""".stripMargin,
     "q32_sessions" ->
       """SELECT user_id, session_seq, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents FROM (

@@ -30,6 +30,13 @@ object GraftFunctions {
       s"$arg must be a string literal, got $other")
   }
 
+  private def litLong(e: Expression, arg: String): Long = e match {
+    case Literal(l: Long, _) => l
+    case Literal(i: Int, IntegerType) => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
+
   /** name → (usage, builder). Literal-only parameters (k, n, patterns)
     * are extracted at resolution time — they parameterize the kernel, not
     * the data path.
@@ -55,7 +62,10 @@ object GraftFunctions {
       (cs: Seq[Expression]) => ArrayEqCount(cs(0), cs(1))),
     ("graft_lang_guess", "graft_lang_guess(text) - (lang, hits) stopword-lexicon argmax",
       (cs: Seq[Expression]) => LangGuess(cs(0),
-        graft.ops.TextAnalysis.StopwordLexicon.toSeq.sortBy(_._1), 1000))
+        graft.ops.TextAnalysis.StopwordLexicon.toSeq.sortBy(_._1), 1000)),
+    ("graft_token_chain_hash",
+      "graft_token_chain_hash(text, seed) - chained-xxhash64 token-stream fingerprint",
+      (cs: Seq[Expression]) => TokenChainHash(cs(0), litLong(cs(1), "seed")))
   )
 
   /** Register on a live session (temp functions). */

@@ -151,6 +151,14 @@ object NearestCentroid {
 
   final class Kernel(cids: Array[Long], vecs: Array[Array[Double]],
                      norms: Array[Double]) extends Serializable {
+    // fail-fast on degenerate centroid tables: an empty table (or a
+    // zero/NaN norm, whose acc/0 = NaN never beats bestScore) would
+    // silently assign every vector to nonexistent cell -1
+    require(cids.nonEmpty, "NearestCentroid needs a non-empty centroid table")
+    norms.zipWithIndex.foreach { case (n, i) =>
+      require(n > 0 && !n.isNaN && !n.isInfinite,
+        s"NearestCentroid centroid ${cids(i)} has degenerate norm $n")
+    }
     def compute(v: ArrayData): Long = {
       var bestScore = Double.MinValue
       var bestCell = -1L

@@ -159,3 +159,66 @@ object ArrayEqCount {
         org.apache.spark.sql.graftshim.GraftSql.expression(a),
         org.apache.spark.sql.graftshim.GraftSql.expression(b)))
 }
+
+/**
+ * Native order-sensitive document fingerprint: the chained-xxhash64 fold
+ * over the whitespace tokens of a text column in ONE imperative pass.
+ *
+ * The declarative spec ([[graft.ops.TextAnalysis.fingerprintSpec]] —
+ * `aggregate(split(text), seed, (acc, t) => xxhash64(acc, t))`) is a HOF,
+ * hence CodegenFallback: one interpreted walk of the token array per row
+ * on an operator whose production shape is a full-corpus scan — the last
+ * member of the kernel family ([[SimHash64]], [[LangGuess]],
+ * [[ArrayEqCount]], [[HyperplaneSignatures]], [[NearestCentroid]]) left
+ * un-nativized after round 3 (round-3 verdict item 1).
+ *
+ * Semantics (property-tested equal to the spec): tokens = whitespace
+ * split (limit -1); fold acc₀ = seed, accᵢ₊₁ = xxhash64(accᵢ, tokᵢ) where
+ * Spark's multi-arg xxhash64 chains XXH64.hashLong(acc, 42) →
+ * XXH64.hashUTF8String(tok, ·) — replicated exactly so fingerprints are
+ * bit-identical across the swap.
+ */
+case class TokenChainHash(child: Expression, seed: Long) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenChainHash.compute(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenChainHash.compute($c, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_chain_hash"
+}
+
+object TokenChainHash {
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, seed: Long): Long = {
+    val toks = Ws.split(text.toString, -1)
+    var acc = seed
+    var i = 0
+    while (i < toks.length) {
+      // Spark's xxhash64(acc, t): fold each arg with the running hash as
+      // seed, starting from 42 — hashLong(acc, 42) then hashUTF8String
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(acc, 42L)
+      acc = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(toks(i)), h)
+      i += 1
+    }
+    acc
+  }
+
+  def apply(text: Column, seed: Long): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenChainHash(org.apache.spark.sql.graftshim.GraftSql.expression(text), seed))
+}

@@ -23,21 +23,31 @@ final class GraphStorage(spark: SparkSession, root: String) {
 
   private def dir(name: String) = s"$root/$name"
 
-  /** S6 save + optional version snapshot (graph_storage.py:56-101). */
+  /** S6 save + optional version snapshot (graph_storage.py:56-101).
+    *
+    * ONE write per table per save (round-3 advice: the old shape wrote
+    * current/ then re-read and re-wrote the snapshot — 2× write
+    * amplification on every versioned save): the snapshot directory IS
+    * the data, and "current" is an atomically-published pointer file. A
+    * kill mid-save leaves the previous pointer and a parseable
+    * versions.json (both go through [[graft.runtime.Checkpoint.writeAtomic]]).
+    */
   def save(name: String, g: Graph, createVersion: Boolean = true): Long = {
-    val version = System.currentTimeMillis()
-    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/current/nodes")
-    g.edges.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/current/edges")
+    var version = System.currentTimeMillis()
+    // two saves inside one millisecond must not share a snapshot dir
+    while (createVersion && Files.exists(Paths.get(s"${dir(name)}/versions/v$version")))
+      version += 1
+    val rel = if (createVersion) s"versions/v$version" else "current"
+    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/nodes")
+    g.edges.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/edges")
+    // publish: the pointer flip is the commit point
+    graft.runtime.Checkpoint.writeAtomic(Paths.get(s"${dir(name)}/_CURRENT.json"),
+      s"""{"path":"$rel","version":$version}""")
     if (createVersion) {
-      spark.read.parquet(s"${dir(name)}/current/nodes")
-        .write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/versions/v$version/nodes")
-      spark.read.parquet(s"${dir(name)}/current/edges")
-        .write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/versions/v$version/edges")
       val metaPath = Paths.get(s"${dir(name)}/versions.json")
       val prev = if (Files.exists(metaPath)) Files.readString(metaPath).stripSuffix("]") + ","
                  else "["
-      Files.createDirectories(metaPath.getParent)
-      Files.writeString(metaPath,
+      graft.runtime.Checkpoint.writeAtomic(metaPath,
         prev + s"""{"version":$version,"createdMs":$version}]""")
     }
     version
@@ -85,10 +95,22 @@ final class GraphStorage(spark: SparkSession, root: String) {
       spark.table(bucketTable(name, "edges")).as[Triple])
   }
 
-  /** S7 load by name, optionally a specific version (graph_storage.py:103-139). */
+  /** S7 load by name, optionally a specific version (graph_storage.py:103-139).
+    * The latest graph resolves through the `_CURRENT.json` pointer (see
+    * [[save]]); a pointer-less directory (pre-pointer layout) falls back
+    * to `current/`.
+    */
   def load(name: String, version: Option[Long] = None): Graph = {
     import spark.implicits._
-    val base = version.map(v => s"${dir(name)}/versions/v$v").getOrElse(s"${dir(name)}/current")
+    val base = version.map(v => s"${dir(name)}/versions/v$v").getOrElse {
+      val ptr = Paths.get(s"${dir(name)}/_CURRENT.json")
+      val rel =
+        if (Files.exists(ptr))
+          "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(ptr))
+            .map(_.group(1)).getOrElse("current")
+        else "current"
+      s"${dir(name)}/$rel"
+    }
     Graph(
       spark.read.parquet(s"$base/nodes").as[Entity],
       spark.read.parquet(s"$base/edges").as[Triple])

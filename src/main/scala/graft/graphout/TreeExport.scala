@@ -92,7 +92,16 @@ object TreeExport {
     * Children are ordered by (start, segId) — document order.
     */
   def segmentHierarchyJson(segments: Dataset[Segment], maxNodes: Int = 100000): String = {
-    val rows = segments.limit(maxNodes + 1).collect()
+    // deterministic cap (mirrors traverseTreeJson's depth-prefix order): an
+    // unordered limit keeps partition-order-dependent rows, so the same
+    // call could emit different JSON and keep children of dropped parents.
+    // (level, start, segId) is a total order — parents (lower level, same
+    // start) survive before their children.
+    val rows = segments
+      .orderBy(org.apache.spark.sql.functions.col("level"),
+        org.apache.spark.sql.functions.col("start"),
+        org.apache.spark.sql.functions.col("segId"))
+      .limit(maxNodes + 1).collect()
     if (rows.length > maxNodes)
       graft.runtime.Observed.record("tree_export_cap",
         Map("truncatedAtNodes" -> maxNodes.toLong))

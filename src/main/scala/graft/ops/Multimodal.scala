@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing for training-data pipelines: image/audio/
  * video payloads are opaque `binary` columns with typed metadata structs.
  *
- * The actual codec work (JPEG decode, resampling, frame sampling) needs
- * native libraries NOT present in this container — those steps are
- * STUBBED behind `DecoderStub` with a deterministic fake so the Spark-side
- * plumbing (schema, batch shape, partitioning, per-partition decoder
- * amortization) is real and tested. In production the stub body is
- * replaced by the real codec call; nothing around it changes.
+ * The IMAGE path is real: payloads are actual PNG bytes and
+ * [[ImageDecoder]] decodes them with `javax.imageio` (JDK built-in — no
+ * external dependency). Audio/video codec work (resampling, frame
+ * decode) needs native libraries NOT present in this container — those
+ * steps are STUBBED behind `DecoderStub` with a deterministic fake so the
+ * Spark-side plumbing (schema, batch shape, partitioning, per-partition
+ * decoder amortization) is real and tested. In production the stub body
+ * is replaced by the real codec call; nothing around it changes.
  *
  * Batching shape mirrors mapInPandas/Arrow semantics: work happens in
  * `mapPartitions` so the (expensive) decoder context is created once per
@@ -37,34 +39,95 @@ object Multimodal {
       mediaType: String,
       nBytes: Long,
       payloadSha: String,
-      // decoded-feature stub outputs:
+      // image: REAL ImageIO-decoded mean luma; audio/video: decode stub
       meanLuma: Double,
       resizedW: Int,
       resizedH: Int,
       nFramesSampled: Int
   )
 
+  /** Real image codec over `javax.imageio` (ships in the JDK). Encode is
+    * only used by the synthetic corpus; decode is the production kernel.
+    */
+  object ImageDecoder {
+
+    /** Deterministic RGB test pattern: pixel (x, y) of image `id` is a
+      * pure function of (id, x, y) — so the decoded statistics are
+      * reproducible for any (id, w, h).
+      */
+    def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((id * 29 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PNG/JPEG payload and return (meanLuma ∈ [0,1], w, h) —
+      * Rec.601 luma averaged over all pixels. Throws on an undecodable
+      * payload (the caller isolates per-row failures if it wants them).
+      */
+    def decodeMeanLuma(payload: Array[Byte]): (Double, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      (sum / (w.toLong * h) / 255.0, w, h)
+    }
+  }
+
   /** Deterministic synthetic media corpus (seeded — payload is a pure
-    * function of id) for testing the plumbing at any scale.
+    * function of id) for testing the plumbing at any scale. Image rows
+    * carry REAL PNG bytes; audio/video rows carry opaque byte payloads
+    * (their codecs are the stubbed modalities).
     */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n).map { i =>
       val rnd = new scala.util.Random(seed ^ i)
       val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
-      val payload = Array.fill((64 + rnd.nextInt(192)))(rnd.nextInt(256).toByte)
-      MediaRow(i, mt, payload,
-        width = 16 + rnd.nextInt(64), height = 16 + rnd.nextInt(64),
+      val w = 16 + rnd.nextInt(48)
+      val h = 16 + rnd.nextInt(48)
+      val payload =
+        if (mt == "image") ImageDecoder.syntheticPng(i, w, h)
+        else Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+      MediaRow(i, mt, payload, width = w, height = h,
         sampleRateHz = 16000, durationMs = 1000L + rnd.nextInt(9000))
     }
   }
 
-  /** The stubbed decoder. Replace the body with the real codec (e.g.
-    * javacpp-ffmpeg / ImageIO) in production; the deterministic fake keeps
-    * tests meaningful: outputs depend only on the payload bytes.
+  /** The stubbed AUDIO/VIDEO decoder (image decode is real — see
+    * [[ImageDecoder]]). Replace the body with the real codec (e.g.
+    * javacpp-ffmpeg) in production; the deterministic fake keeps tests
+    * meaningful: outputs depend only on the payload bytes.
     */
   object DecoderStub {
-    def decodeImageMeanLuma(payload: Array[Byte]): Double =
+    def fakeMeanLevel(payload: Array[Byte]): Double =
       if (payload.isEmpty) 0.0
       else payload.map(b => (b & 0xff).toDouble).sum / payload.length / 255.0
 
@@ -78,21 +141,27 @@ object Multimodal {
   }
 
   /** Feature extraction stage: mapPartitions so decoder init happens once
-    * per partition (the Pandas-UDF batch contract).
+    * per partition (the Pandas-UDF batch contract). Image rows are decoded
+    * for real with ImageIO; audio/video go through the stub.
     */
   def extractFeatures(media: Dataset[MediaRow], resizeTarget: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder context init would happen here
+      // per-partition decoder context init would happen here (the real
+      // ImageIO readers are acquired per call; an ffmpeg context would
+      // be created once here)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
         md.reset()
         val sha = graft.model.Ids.hex(md.digest(m.payload))
-        val (rw, rh) = DecoderStub.resize(m.width, m.height, resizeTarget)
+        val (luma, realW, realH) =
+          if (m.mediaType == "image") ImageDecoder.decodeMeanLuma(m.payload)
+          else (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height)
+        val (rw, rh) = DecoderStub.resize(realW, realH, resizeTarget)
         MediaFeatures(
           mediaId = m.mediaId, mediaType = m.mediaType,
           nBytes = m.payload.length.toLong, payloadSha = sha,
-          meanLuma = DecoderStub.decodeImageMeanLuma(m.payload),
+          meanLuma = luma,
           resizedW = rw, resizedH = rh,
           nFramesSampled =
             if (m.mediaType == "video") DecoderStub.sampleFrames(m.durationMs) else 1)

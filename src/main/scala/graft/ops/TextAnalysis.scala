@@ -111,12 +111,21 @@ object TextAnalysis {
   /** Document fingerprint: rolling hash of the token stream (order-
     * sensitive — reordered tokens give different fingerprints, unlike a
     * bag-of-words hash). Chained xxhash64 keeps the fold inside 64 bits
-    * without ANSI-mode multiply overflow.
+    * without ANSI-mode multiply overflow. Computed by the native one-pass
+    * [[graft.functions.TokenChainHash]] kernel — the `aggregate` HOF form
+    * ([[fingerprintSpec]], kept as the property-test oracle) is
+    * CodegenFallback: one interpreted token-array walk per row on a
+    * full-corpus-scan operator.
     */
-  def fingerprint(text: Column): Column = {
+  val FingerprintSeed = 1469598103934665603L
+
+  def fingerprint(text: Column): Column =
+    graft.functions.TokenChainHash(text, FingerprintSeed)
+
+  /** DECLARATIVE SPEC of [[fingerprint]] (property-test oracle). */
+  def fingerprintSpec(text: Column): Column = {
     val toks = split(text, "\\s+")
-    aggregate(toks, lit(1469598103934665603L),
-      (acc, t) => xxhash64(acc, t))
+    aggregate(toks, lit(FingerprintSeed), (acc, t) => xxhash64(acc, t))
   }
 
   def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -60,12 +60,8 @@ final class Checkpoint(spark: SparkSession, root: String) {
   private def bucketManifestPath(stage: String, b: Int) =
     Paths.get(s"$root/$stage/_BUCKET_$b.json")
 
-  private def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.writeString(tmp, content, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeAtomic(path: java.nio.file.Path, content: String): Unit =
+    Checkpoint.writeAtomic(path, content)
 
   /** Per-PARTITION commit granularity (the north rule's resumability unit;
     * Iceberg snapshots would give this natively — this is the parquet
@@ -90,20 +86,32 @@ final class Checkpoint(spark: SparkSession, root: String) {
     // the bucket count IS the data's hash modulus: resuming with a
     // different nBuckets would silently mix two bucketing schemes, so the
     // scheme is committed first and validated on every resume
+    // the scheme line is written by this class with a fixed field order, so
+    // an exact-string compare IS a field-exact compare — a substring
+    // contains() would let '"nBuckets":16' match a resume with nBuckets=1
+    // (decimal-prefix bug: committed buckets 1..15 would then duplicate
+    // rows recomputed under mod-1)
+    val schemeLine =
+      s"""{"stage":"$stage","bucketCol":"$bucketCol","nBuckets":$nBuckets}"""
     val schemePath = Paths.get(s"$root/$stage/_BUCKETING.json")
     if (Files.exists(schemePath)) {
       val committed = Files.readString(schemePath)
-      require(committed.contains(s""""nBuckets":$nBuckets""") &&
-        committed.contains(s""""bucketCol":"$bucketCol""""),
+      require(committed == schemeLine,
         s"stage $stage was partially committed with a different bucketing " +
-          s"scheme ($committed); resume with the original nBuckets/bucketCol " +
-          "or clear the stage directory")
-    } else writeAtomic(schemePath,
-      s"""{"stage":"$stage","bucketCol":"$bucketCol","nBuckets":$nBuckets}""")
+          s"scheme ($committed vs $schemeLine); resume with the original " +
+          "nBuckets/bucketCol or clear the stage directory")
+    } else writeAtomic(schemePath, schemeLine)
     val missing = (0 until nBuckets)
       .filterNot(b => Files.exists(bucketManifestPath(stage, b)))
     if (missing.nonEmpty) {
-      val df = compute
+      val raw = compute
+      // '_bucket' is this method's working column and 'bucket' its
+      // partition-discovery column: a stage output already carrying either
+      // would be silently overwritten here / dropped by readPartitioned
+      require(!raw.columns.contains("_bucket") && !raw.columns.contains("bucket"),
+        s"stage $stage output reserves column names '_bucket'/'bucket' " +
+          s"for partitioned checkpointing; rename them (got ${raw.columns.mkString(",")})")
+      val df = raw
         .withColumn("_bucket", pmod(xxhash64(col(bucketCol)), lit(nBuckets)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -160,5 +168,20 @@ final class Checkpoint(spark: SparkSession, root: String) {
           .map(Files.readString(_))
       } finally s.close()
     }
+  }
+}
+
+object Checkpoint {
+
+  /** Write-temp-then-ATOMIC_MOVE: a reader never observes a torn file and
+    * a crash mid-write leaves the previous content intact. Shared by the
+    * checkpoint manifests and [[graft.graphout.GraphStorage]]'s version
+    * metadata (round-3 advice: versions.json was a bare read-modify-write).
+    */
+  def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = Paths.get(path.toString + ".tmp")
+    Files.writeString(tmp, content, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

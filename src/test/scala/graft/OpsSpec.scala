@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native TokenChainHash equals the aggregate-HOF fingerprint spec") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(137)
+    val alphabet = Vector("the", "fox", "tok", "北京", "café", "x", "", "a1",
+      "Spark", "spark", "и", "_", "...", "longer-token-value")
+    val fuzz = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+    }
+    val texts = (Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "dog lazy the over jumps fox brown quick the", // reorder must differ
+      "a", "a b", "  leading and   irregular   whitespace",
+      "unicode tökens café 北京 и слова"
+    ) ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val both = df.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("native"),
+      TextAnalysis.fingerprintSpec($"text").as("spec")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native=${r.getLong(1)} spec=${r.getLong(2)}")
+    }
+    // order sensitivity: the reordered sentence fingerprints differently
+    val byId = both.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) != byId(1L))
+  }
+
   test("simhash band buckets are capped with an observed drop counter") {
     import spark.implicits._
     val docs = (0 until 20)
@@ -320,9 +348,64 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.syntheticMedia(spark, 500)
     assert(Multimodal.balanceBySize(media, 8).count() == 500)
   }
+
+  test("image decode is REAL ImageIO: known image pins its exact mean luma") {
+    // solid color → closed-form Rec.601 luma, penny-exact through the
+    // lossless PNG round trip
+    val img = new java.awt.image.BufferedImage(
+      10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 6).foreach(y => (0 until 10).foreach(x =>
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (luma, w, h) = Multimodal.ImageDecoder.decodeMeanLuma(bos.toByteArray)
+    assert(w == 10 && h == 6)
+    val expected = (0.299 * 200 + 0.587 * 100 + 0.114 * 50) / 255.0
+    assert(math.abs(luma - expected) < 1e-12, s"$luma vs $expected")
+
+    // synthetic pattern round-trips losslessly: decoded luma equals the
+    // pixel-formula computation, independent of the PNG encoder
+    val payload = Multimodal.ImageDecoder.syntheticPng(7L, 20, 15)
+    val (l2, w2, h2) = Multimodal.ImageDecoder.decodeMeanLuma(payload)
+    assert(w2 == 20 && h2 == 15)
+    var sum = 0.0
+    (0 until 15).foreach { y =>
+      (0 until 20).foreach { x =>
+        val r = (7 * 31 + x * 7 + y * 13) % 256
+        val g = (7 * 17 + x * 11 + y * 3) % 256
+        val b = (7 * 29 + x * 5 + y * 19) % 256
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+      }
+    }
+    assert(math.abs(l2 - sum / 300 / 255.0) < 1e-12)
+  }
 }
 
 class StorageSpec extends SparkSpec {
+  test("versioned save writes each table once and publishes current via atomic pointer") {
+    val g = Fixtures.queryGraph(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graphs_ptr").toString
+    val storage = new graft.graphout.GraphStorage(spark, tmp)
+    val v1 = storage.save("gp", g)
+    val v2 = storage.save("gp", g)
+    assert(v2 > v1)
+    // single write per table: the snapshot IS the data — no current/ copy
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/gp/current")))
+    val ptr = java.nio.file.Paths.get(s"$tmp/gp/_CURRENT.json")
+    assert(java.nio.file.Files.exists(ptr))
+    assert(java.nio.file.Files.readString(ptr).contains(s"versions/v$v2"))
+    // pointer-resolved load == latest snapshot; explicit version still works
+    assert(storage.load("gp").nodes.count() == g.nodes.count())
+    assert(storage.load("gp", Some(v1)).edges.count() == g.edges.count())
+    assert(storage.listVersions("gp") == Seq(v2, v1))
+    // versions.json stays parseable JSON (atomic writes, never torn)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/gp/versions.json"))
+    assert(meta.startsWith("[") && meta.endsWith("]") &&
+      meta.contains(s""""version":$v1""") && meta.contains(s""""version":$v2"""))
+    storage.delete("gp")
+  }
+
   test("save/load roundtrip preserves counts (test_graph.py:314-315)") {
     val g = Fixtures.queryGraph(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graphs").toString

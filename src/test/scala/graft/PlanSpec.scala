@@ -183,6 +183,17 @@ class PlanSpec extends SparkSpec {
     assert(graft.query.GraphQueryOps.searchTextRelationships(ge, "^w7$").count() == 1)
   }
 
+  test("fingerprint scan stays in whole-stage codegen — no aggregate-HOF fallback (round-3 item 2)") {
+    val df = Queries.q30_fingerprint(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_token_chain_hash"), p.take(1200))
+    assert(!p.contains("aggregate("), p.take(1200))
+    // the Project must sit inside a codegen span — the HOF form dragged
+    // the whole scan-project into CodegenFallback
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p.take(1200))
+  }
+
   test("capped operators report drop counters via observe (no silent caps)") {
     import spark.implicits._
     val docs = (0 until 30)
