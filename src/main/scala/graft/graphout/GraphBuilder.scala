@@ -26,39 +26,49 @@ object GraphBuilder {
 
     val nodeIds = entities.select($"id").distinct()
 
-    // endpoint existence: two semi-joins (the inverse of verifier V2).
-    // SHUFFLE_HASH, not broadcast: the node table is the one dimension
-    // that grows with the corpus (at 100 TB it can never broadcast), and
-    // a broadcast build here is a serial driver-side hash of every node —
-    // measured as the pipeline's worst-scaling stage at local[2]→[8]
-    // (3.1x). The shuffle-hash build parallelizes per partition.
-    val valid = triples.toDF()
-      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "srcId"),
-        Seq("srcId"), "left_semi")
-      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "dstId"),
-        Seq("dstId"), "left_semi")
-
-    // keep-max dedup per (srcId, relType, dstId): max_by(struct) aggregate
-    // — a single hash aggregate with map-side partial combine; a window
-    // row_number would sort every partition instead. Column ops only (a
-    // typed filter/map here deserializes every Triple object — measured
-    // as the pipeline's biggest stage cost).
-    val cols = valid.columns
-    val deduped = valid
+    // keep-max dedup per (srcId, relType, dstId) FIRST: max_by(struct)
+    // aggregate — a single hash aggregate whose map-side partial combine
+    // collapses the cross-file duplicate mass (3-5x on template-heavy
+    // corpora) BEFORE any join shuffles move rows; every downstream
+    // exchange then ships the distinct set only. Dedup and endpoint
+    // filtering commute: dangling-ness is a property of (srcId, dstId),
+    // shared by every member of a dedup group. A window row_number would
+    // sort every partition instead; column ops only (a typed filter/map
+    // here deserializes every Triple object — measured as the pipeline's
+    // biggest stage cost).
+    val cols = triples.toDF().columns
+    val deduped = triples.toDF()
       .groupBy("srcId", "relType", "dstId")
       .agg(min_by(struct(cols.map(col): _*),
         struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("row"))
       .select(col("row.*"))
 
+    // endpoint existence: two semi-joins (the inverse of verifier V2).
+    // SHUFFLE_HASH, not broadcast: the node table is the one dimension
+    // that grows with the corpus (at 100 TB it can never broadcast), and
+    // a broadcast build here is a serial driver-side hash of every node —
+    // measured as the pipeline's worst-scaling stage at local[2]→[8]
+    // (3.1x). The shuffle-hash build parallelizes per partition. Ordered
+    // dstId THEN srcId so the validated table leaves its last exchange
+    // hash-partitioned on srcId — the key every downstream name-attach /
+    // traversal join consumes (zero-exchange when nodes are cached hashed
+    // by id; see KgPipeline). When `entities` is itself cached partitioned
+    // on id, the nodeIds build sides need no exchange at all.
+    val valid = deduped
+      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "dstId"),
+        Seq("dstId"), "left_semi")
+      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "srcId"),
+        Seq("srcId"), "left_semi")
+
     // bidirectional expansion (graph.py:116-129)
-    val reversed = deduped.where(col("bidirectional"))
+    val reversed = valid.where(col("bidirectional"))
       .withColumn("id", concat(col("id"), lit("_reverse")))
       .withColumn("tmpS", col("srcId")).withColumn("tmpSN", col("srcName"))
       .withColumn("srcId", col("dstId")).withColumn("srcName", col("dstName"))
       .withColumn("dstId", col("tmpS")).withColumn("dstName", col("tmpSN"))
       .drop("tmpS", "tmpSN")
     Graph(entities,
-      deduped.select(cols.map(col): _*).union(reversed.select(cols.map(col): _*)).as[Triple])
+      valid.select(cols.map(col): _*).union(reversed.select(cols.map(col): _*)).as[Triple])
   }
 
   /** Count of dropped dangling edges (for the metrics table). */

@@ -79,25 +79,36 @@ object CheckpointedPipeline {
         linkResultHolder(0) = Linker.link(canonical.as[Entity])
       linkResultHolder(0)
     }
-    val nodes = cp.runStage("05_nodes", Seq("04_canonical_mentions")) {
+    // nodes and edges are the pipeline's REUSED tables (name attachment,
+    // endpoint checks, every downstream graph query) — committed BUCKETED
+    // on their join keys (nodes on id, edges on srcId, same bucket count)
+    // so every consumer joining on those keys reads them pre-partitioned
+    // and pre-sorted: the srcId name-attach below runs with ZERO Exchange
+    // on either side (PlanSpec-pinned). Iceberg bucket transform at
+    // production scale; the shuffle is paid once, at write time.
+    val nodes = cp.runStageBucketed("05_nodes", Seq("04_canonical_mentions"),
+      bucketCol = "id") {
       linked().canonical.toDF()
     }
     val rewrite = cp.runStage("06_rewrite", Seq("04_canonical_mentions")) {
       linked().rewrite
     }
 
-    val edges = cp.runStage("07_edges", Seq("03_triples", "05_nodes", "06_rewrite")) {
+    val edges = cp.runStageBucketed("07_edges",
+      Seq("03_triples", "05_nodes", "06_rewrite"), bucketCol = "srcId") {
       val redirected = Linker.redirectEdges(triples.as[Triple], rewrite)
       GraphBuilder.build(nodes.as[Entity], redirected).edges.toDF()
     }
 
     cp.runStage("08_triple_set", Seq("05_nodes", "07_edges")) {
-      // shuffle_hash: node dim grows with the corpus — see KgPipeline
+      // bucketed scans: the srcId join is exchange-free and sort-free
+      // (both sides bucketed+sorted on the key); the dstId join re-shuffles
+      // only the joined rows while the node side again reads its buckets
       edges
-        .join(nodes.select(col("id").as("srcId"), col("name").as("subjName"))
-          .hint("shuffle_hash"), Seq("srcId"))
-        .join(nodes.select(col("id").as("dstId"), col("name").as("objName"))
-          .hint("shuffle_hash"), Seq("dstId"))
+        .join(nodes.select(col("id").as("srcId"), col("name").as("subjName")),
+          Seq("srcId"))
+        .join(nodes.select(col("id").as("dstId"), col("name").as("objName")),
+          Seq("dstId"))
         .select(col("subjName"), col("relType"), col("objName"))
         .distinct()
     }

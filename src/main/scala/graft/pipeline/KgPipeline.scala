@@ -16,14 +16,22 @@ import graft.segment.CodeSegmenter
  * re-pointed to merged entities (C5) before materialization, and dangling
  * edges are counted rather than silently dropped.
  *
- * Shuffle census for the full run (what matters at 100 TB):
+ * Shuffle census for the full run (what matters at 100 TB — round-4
+ * shape: duplicate mass collapses BEFORE any join, and the two cached
+ * tables carry join-aligned hash partitioning so downstream joins are
+ * exchange-free on the cached sides):
  *   segment+extract: ZERO shuffles (flatMap/mapPartitions chains)
  *   mention dedup:   1 shuffle (hash agg on deterministic entityId,
  *                    partial agg map-side via commutative Aggregator)
  *   linking:         blocking shuffle + O(log n) CC iterations (alias
  *                    pair graph is tiny relative to corpus)
  *   edge redirect:   0 shuffles (broadcast rewrite map)
- *   graph build:     semi-join vs nodes (broadcast-able dim) + window dedup
+ *   graph build:     keep-max dedup agg (map-side combined, FIRST) +
+ *                    2 edge-side semi-join exchanges; node build sides
+ *                    read the id-partitioned cache (no exchange)
+ *   tripleSet:       srcId join exchange-FREE both sides (edges cached on
+ *                    srcId, nodes on id); dstId join re-shuffles the
+ *                    joined rows only; distinct
  */
 object KgPipeline {
 
@@ -37,9 +45,43 @@ object KgPipeline {
       tripleSet: DataFrame
   )
 
+  /** Per-stage wall-clock laps from [[runStaged]] (bench evidence for the
+    * two-cluster-size scaling rule — stage-attributed, not argued).
+    * Stage names: extract_dedup (segmentation + extraction fused into the
+    * mention-dedup action — the narrow chain has no cheaper observable
+    * boundary), link_cc (pair scoring + connected components + rewrite
+    * map), merge_build (entity merge + graph materialization + edge
+    * redirect), triple_set (name attachment + distinct).
+    */
+  final case class Staged(result: Result, tripleCount: Long,
+                          stageSec: Seq[(String, Double)])
+
   def run(spark: SparkSession, files: Dataset[CodeFile],
-          linkThreshold: Double = Linker.DefaultThreshold): Result = {
+          linkThreshold: Double = Linker.DefaultThreshold): Result =
+    assemble(spark, files, linkThreshold, force = false)._1
+
+  /** [[run]] with each stage FORCED at its natural persist boundary and
+    * timed — the bench's per-stage scaling instrument. The forced actions
+    * are materializations the lazy run performs anyway on first downstream
+    * use; only their attribution changes.
+    */
+  def runStaged(spark: SparkSession, files: Dataset[CodeFile],
+                linkThreshold: Double = Linker.DefaultThreshold): Staged = {
+    val (res, n, laps) = assemble(spark, files, linkThreshold, force = true)
+    Staged(res, n, laps)
+  }
+
+  private def assemble(spark: SparkSession, files: Dataset[CodeFile],
+                       linkThreshold: Double, force: Boolean)
+      : (Result, Long, Seq[(String, Double)]) = {
     import spark.implicits._
+    val laps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def lap[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val x = f
+      laps += name -> (System.nanoTime() - t0) / 1e9
+      x
+    }
 
     val segments = CodeSegmenter.windows(files)
     // Two independent narrow extraction passes (mentions, triples). Regex
@@ -53,26 +95,41 @@ object KgPipeline {
     // exact-identity dedup first (deterministic id = sha(normName|type)):
     // one shuffle, map-side combined. The canonical mention table is small
     // (distinct (name,type) pairs) and read 3+ times downstream → persist.
-    val deduped = EntityMerge.dedupeMentionsFast(mentions)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // fuzzy linking over the already-deduped canonical mentions
-    val linked = Linker.link(deduped, linkThreshold)
-    val redirected = Linker.redirectEdges(rawTriples, linked.rewrite)
-
-    val graph = {
-      val g = GraphBuilder.build(linked.canonical, redirected)
-      // nodes are joined twice by tripleSet and re-read by stats/queries;
-      // persist both sides (at production scale these are the materialized
-      // node/edge tables, so the cache stands in for the table write)
-      GraphBuilder.Graph(
-        g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deduped = lap("extract_dedup") {
+      val d = EntityMerge.dedupeMentionsFast(mentions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (force) d.count()
+      d
     }
+
+    // fuzzy linking over the already-deduped canonical mentions; the
+    // CC + rewrite map are eager (localCheckpoint) inside
+    val linked = lap("link_cc")(Linker.link(deduped, linkThreshold))
+
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val (nodes, edges) = lap("merge_build") {
+      // nodes cached HASH-PARTITIONED ON ID (explicit count so AQE cannot
+      // coalesce it away from the join requirement): the nodeIds builds in
+      // GraphBuilder.build and both tripleSet name-attach sides read the
+      // cache co-partitioned — zero node-side exchanges for the whole run
+      val n = linked.canonical.repartition(parts, $"id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val redirected = Linker.redirectEdges(rawTriples, linked.rewrite)
+      val g = GraphBuilder.build(n, redirected)
+      // edges cached hash-partitioned on srcId (the union with reversed
+      // rows erases the semi-join's partitioning metadata): the srcId
+      // name-attach and every downstream traversal join start co-located
+      val e = g.edges.repartition(parts, $"srcId")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (force) { n.count(); e.count() }
+      (n, e)
+    }
+    val graph = GraphBuilder.Graph(nodes, edges)
 
     // name attachment via SHUFFLE_HASH: the node dim grows with the
     // corpus (never broadcast-able at 100 TB) and a broadcast build is
-    // serial on the driver — the hint keeps the hash build parallel
+    // serial on the driver — the hint keeps the hash build parallel; both
+    // sides of the srcId join read caches already partitioned on the key
     val tripleSet = graph.edges.toDF()
       .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName"))
         .hint("shuffle_hash"), Seq("srcId"))
@@ -80,10 +137,15 @@ object KgPipeline {
         .hint("shuffle_hash"), Seq("dstId"))
       .select($"subjName", $"relType", $"objName")
       .distinct()
+    val nTriples = lap("triple_set")(if (force) tripleSet.count() else 0L)
 
-    Result(files, segments, mentions, linked.canonical, graph, tripleSet)
+    (Result(files, segments, mentions, linked.canonical, graph, tripleSet),
+      nTriples, laps.toSeq)
   }
 
   def runSynthetic(spark: SparkSession, n: Long, seed: Long = 42L): Result =
     run(spark, CorpusGen.generate(spark, n, seed))
+
+  def runSyntheticStaged(spark: SparkSession, n: Long, seed: Long = 42L): Staged =
+    runStaged(spark, CorpusGen.generate(spark, n, seed))
 }

@@ -86,6 +86,40 @@ class CheckpointSpec extends SparkSpec {
       .contains("\"resumedBuckets\":5"))
   }
 
+  test("bucketed node/edge stages join exchange-free and re-register after a fresh-JVM resume") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("ckpt4").toString
+    CheckpointedPipeline.run(spark, root, 100).count()
+    val cp = new graft.runtime.Checkpoint(spark, root)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nodes = cp.readBucketed("05_nodes")
+      val edges = cp.readBucketed("07_edges")
+      // the 100 TB join: edges bucketed on srcId ⨝ nodes bucketed on id —
+      // pre-partitioned AND pre-sorted, so the plan has NO Exchange and
+      // (bucketed sortBy) no Sort on the scan sides
+      val joined = edges.join(
+        nodes.select(col("id").as("srcId"), col("name").as("subjName")), Seq("srcId"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(2000))
+
+      // fresh-JVM resume: the in-memory catalog forgets the table; drop it
+      // and readBucketed must re-register over the committed files with
+      // bucket metadata intact (join stays exchange-free)
+      val spec = Files.readString(Paths.get(s"$root/05_nodes/_TABLE.json"))
+      val table = "\"table\":\"([^\"]+)\"".r.findFirstMatchIn(spec).get.group(1)
+      spark.sql(s"DROP TABLE $table")
+      val again = cp.readBucketed("05_nodes")
+      assert(again.count() == nodes.count())
+      val j2 = edges.join(
+        again.select(col("id").as("srcId"), col("name").as("subjName")), Seq("srcId"))
+      assert(j2.count() > 0)
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("a killed run resumes from the last committed stage") {
     val root = Files.createTempDirectory("ckpt2").toString
     // simulate a partial run: commit only the first two stages
