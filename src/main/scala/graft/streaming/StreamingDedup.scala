@@ -41,4 +41,46 @@ object StreamingDedup {
       .withWatermark("ts", watermark)
       .withColumn("simhash", graft.functions.SimHash64(col("text")))
       .dropDuplicatesWithinWatermark("simhash")
+
+  private def bandCols(sh: org.apache.spark.sql.Column) =
+    posexplode(array((0 until 4).map { b =>
+      shiftright(sh, b * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)).as(Seq("band", "bandVal"))
+
+  /** Static-side signature table for [[bandedNearDup]]: one row per
+    * (band, bandVal, matchId, matchSh) — EXACTLY the batch
+    * [[graft.ops.Dedup.simhashPairs]] banding (4×16-bit pigeonhole), built
+    * by the periodic compaction job over the corpus-so-far. At scale this
+    * table is bucketed on (band, bandVal) and refreshed on the compaction
+    * cadence; candidates against documents newer than the last compaction
+    * surface on the next refresh (the documented freshness lag).
+    */
+  def bandSignatures(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("matchId"),
+      graft.functions.SimHash64(col(textCol)).as("matchSh"))
+      .select(col("matchId"), col("matchSh"), bandCols(col("matchSh")))
+
+  /** Streaming banded NEAR-dup candidates (below the exact-collision bar
+    * [[simhashDedup]] handles): each arriving document joins STREAM-STATIC
+    * against the compacted signature table on (band, bandVal) — no
+    * stream-stream self-join, no unbounded state; the only state is the
+    * within-watermark (docId, matchId) dedup (a pair can match in up to 4
+    * bands). Emits (docId, ts, matchId, hamming ≤ maxHamming). Candidate
+    * generation is identical to the batch path restricted to
+    * (new, already-compacted) pairs — StreamingSpec pins that equality.
+    */
+  def bandedNearDup(docs: Dataset[Doc], signatures: DataFrame,
+                    maxHamming: Int = 3, watermark: String = "10 minutes"): DataFrame = {
+    val streamBands = docs.toDF()
+      .withWatermark("ts", watermark)
+      .withColumn("sh", graft.functions.SimHash64(col("text")))
+      .select(col("docId"), col("ts"), col("sh"), bandCols(col("sh")))
+    streamBands.join(signatures, Seq("band", "bandVal"))
+      .where(col("docId") =!= col("matchId"))
+      .withColumn("hamming", bit_count(col("sh").bitwiseXOR(col("matchSh"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("docId"), col("ts"), col("matchId"), col("hamming"))
+      .dropDuplicatesWithinWatermark("docId", "matchId")
+  }
 }

@@ -63,6 +63,55 @@ class StreamingSpec extends SparkSpec {
     assert(ids() == Set(1L, 2L, 5L, 6L), ids().toString)
   }
 
+  test("streaming banded near-dup matches batch LSH candidates for stream-vs-compacted pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("neardup-ckpt").toString
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+    // compacted corpus (the static side) + an arriving stream with planted
+    // near-dups: identical text, small token edits, and unrelated noise
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val oldDocs = Seq(
+      (0L, base),
+      (1L, "completely different content about distributed spark sql engines"),
+      (2L, base + " again"),
+      (3L, "unrelated third text body with its own distinct vocabulary set")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      Doc(100L, ts(0), base), // identical → hamming 0
+      Doc(101L, ts(1), base.replace("today", "tonight")), // 1-token edit
+      Doc(102L, ts(2), "entirely novel text that resembles none of the compacted corpus rows"),
+      Doc(103L, ts(3), "completely different content about distributed spark sql engines")
+    )
+
+    val signatures = StreamingDedup.bandSignatures(oldDocs)
+    val q = StreamingDedup.bandedNearDup(
+      (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc] match {
+        case s => s.addData(newDocs); s
+      }).toDS(), signatures)
+      .writeStream.format("memory").queryName("neardup_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .select("docId", "matchId").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet // (old, new)
+
+    // batch oracle: simhashPairs over old ∪ new, restricted to cross pairs
+    val union = oldDocs.unionByName(
+      newDocs.toDF().select(col("docId").as("doc_id"), col("text")))
+    val batch = graft.ops.Dedup.simhashPairs(union, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB")))
+      .filter { case (a, b) => a < 100 && b >= 100 }.toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the planted pairs are really found (non-vacuous)
+    assert(streamed.contains((0L, 100L)) && streamed.contains((1L, 103L)))
+  }
+
   test("stateful streaming sessionization: gap closes on arrival, watermark timeout closes the tail") {
     import spark.implicits._
     import graft.streaming.StreamingSessions
