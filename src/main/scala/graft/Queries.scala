@@ -332,6 +332,11 @@ object Queries {
     // the LSH bands over-generate on low-vocabulary corpora
     val pairs = graft.ops.Dedup.minhashLshPairs(docs)
       .where(col("jaccard_est") >= 0.5)
+    // persisted for the invariant's extra pass AND the driver's final
+    // consumption; scope is session-lifetime by design (q24/q27/q28 —
+    // result-sized tables, the stand-in for the checkpoint table a
+    // production run would write; unpersisting before return would
+    // recompute the whole LSH pipeline for the driver's read)
     val out = graft.ops.Dedup.ngramJaccard(docs, pairs.select("idA", "idB"))
       .where(col("jaccard") >= 0.8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -392,7 +397,11 @@ object Queries {
         graft.ops.Ann.cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= 0.9)
     val ecnt = exactHigh.count()
-    if (ecnt > 0) {
+    // gate only with a statistically meaningful slice: at 1-2 pairs a
+    // single deterministic-but-unlucky banding miss (per-pair hit prob
+    // ≈0.93) would fail a healthy LSH path; a real collapse shows as
+    // near-zero recall over MANY pairs
+    if (ecnt >= 3) {
       val hit = out.join(exactHigh.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
         .count()
       require(hit.toDouble / ecnt >= 0.6,

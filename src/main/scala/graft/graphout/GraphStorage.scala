@@ -35,14 +35,33 @@ final class GraphStorage(spark: SparkSession, root: String) {
   def save(name: String, g: Graph, createVersion: Boolean = true): Long = {
     var version = System.currentTimeMillis()
     // two saves inside one millisecond must not share a snapshot dir
-    while (createVersion && Files.exists(Paths.get(s"${dir(name)}/versions/v$version")))
+    while (Files.exists(Paths.get(s"${dir(name)}/versions/v$version")) ||
+      Files.exists(Paths.get(s"${dir(name)}/work/v$version")))
       version += 1
-    val rel = if (createVersion) s"versions/v$version" else "current"
+    // EVERY save — versioned or not — writes a FRESH directory and then
+    // flips the pointer: overwriting the directory the live pointer
+    // references would leave a kill-mid-write reader with torn parquet.
+    // Unversioned saves go under work/ (not versions/, which listVersions
+    // globs); the superseded work dir is deleted after the flip.
+    val rel = if (createVersion) s"versions/v$version" else s"work/v$version"
+    val prevPtr = Paths.get(s"${dir(name)}/_CURRENT.json")
+    val prevRel =
+      if (Files.exists(prevPtr))
+        "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(prevPtr)).map(_.group(1))
+      else None
     g.nodes.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/nodes")
     g.edges.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/edges")
     // publish: the pointer flip is the commit point
-    graft.runtime.Checkpoint.writeAtomic(Paths.get(s"${dir(name)}/_CURRENT.json"),
+    graft.runtime.Checkpoint.writeAtomic(prevPtr,
       s"""{"path":"$rel","version":$version}""")
+    // garbage-collect the now-unreferenced scratch dir (snapshots stay)
+    prevRel.filter(p => p.startsWith("work/") && p != rel).foreach { p =>
+      val d = Paths.get(s"${dir(name)}/$p")
+      if (Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
     if (createVersion) {
       val metaPath = Paths.get(s"${dir(name)}/versions.json")
       val prev = if (Files.exists(metaPath)) Files.readString(metaPath).stripSuffix("]") + ","

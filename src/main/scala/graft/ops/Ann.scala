@@ -84,14 +84,26 @@ object Ann {
         graft.functions.NearestCentroid(col("v"), cents).as("cell"))
   }
 
-  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] =
-    centroids
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] = {
+    val all = centroids
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1)
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }.sortBy(_._1).toSeq
+    // a degenerate centroid (zero-padded / missing embedding picked by the
+    // hash-ordered seeding) can never win the cosine argmax anyway — drop
+    // it HERE so one bad vector doesn't fail the whole IVF query (the
+    // kernel's fail-fast still guards the all-degenerate table); dropped
+    // seeds are counted, never silent
+    val (ok, bad) = all.partition(c => c._3 > 0 && !c._3.isNaN && !c._3.isInfinite)
+    if (bad.nonEmpty)
+      graft.runtime.Observed.record("ivf_degenerate_centroids",
+        Map("dropped" -> bad.size.toLong))
+    require(ok.nonEmpty, "every centroid seed is degenerate (zero/NaN norm)")
+    ok
+  }
 
   /** DECLARATIVE SPEC of [[assignCells]] (property-test oracle): the
     * aggregate-over-inlined-literal argmax fold.

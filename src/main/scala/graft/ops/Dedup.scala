@@ -134,15 +134,23 @@ object Dedup {
     * documents share a fingerprint, so a degenerate band value otherwise
     * goes quadratic) with an observed drop counter — no silent recall loss.
     */
+  /** The 4×16-bit pigeonhole banding of a SimHash64 fingerprint, as a
+    * posexplode over band values — ONE definition shared by the batch
+    * self-join ([[simhashPairs]]) and the streaming stream-static path
+    * ([[graft.streaming.StreamingDedup]]), so the documented candidate-set
+    * equivalence cannot silently diverge if the banding is ever retuned.
+    */
+  def simhashBandCols(sh: Column): Column =
+    posexplode(array((0 until 4).map { b =>
+      shiftright(sh, b * 16).bitwiseAND(lit(0xFFFFL))
+    }: _*)).as(Seq("band", "bandVal"))
+
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3,
                    maxBucket: Int = 256): DataFrame = {
     val withSh = docs.select(col(idCol).as("id"),
       graft.functions.SimHash64(col(textCol)).as("sh"))
-    val banded = withSh.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map { b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("band", "bandVal")))
+    val banded = withSh.select(col("id"), col("sh"), simhashBandCols(col("sh")))
     graft.runtime.Observed.install(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bandVal").orderBy("id")

@@ -43,7 +43,12 @@ object Multimodal {
       meanLuma: Double,
       resizedW: Int,
       resizedH: Int,
-      nFramesSampled: Int
+      nFramesSampled: Int,
+      /** Per-row decode failure (corrupt payload) — the error-side-output
+        * pattern of the extraction stage: one truncated image among
+        * millions must not kill the scan.
+        */
+      decodeError: Option[String]
   )
 
   /** Real image codec over `javax.imageio` (ships in the JDK). Encode is
@@ -76,26 +81,24 @@ object Multimodal {
     }
 
     /** Decode a PNG/JPEG payload and return (meanLuma ∈ [0,1], w, h) —
-      * Rec.601 luma averaged over all pixels. Throws on an undecodable
-      * payload (the caller isolates per-row failures if it wants them).
+      * Rec.601 luma averaged over all pixels, read through ONE bulk
+      * getRGB (per-pixel getRGB pays a ColorModel conversion call per
+      * pixel — an order of magnitude slower on a full-corpus scan).
+      * Throws on an undecodable payload; [[extractFeatures]] isolates the
+      * failure into the row's `decodeError` field.
       */
     def decodeMeanLuma(payload: Array[Byte]): (Double, Int, Int) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "undecodable image payload")
       val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sum = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          sum += 0.299 * r + 0.587 * g + 0.114 * b
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        i += 1
       }
       (sum / (w.toLong * h) / 255.0, w, h)
     }
@@ -147,16 +150,29 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], resizeTarget: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder context init would happen here (the real
-      // ImageIO readers are acquired per call; an ffmpeg context would
-      // be created once here)
+      // per-partition decoder context init: disable ImageIO's default
+      // disk-backed read cache (a temp-file per decode call — pure I/O
+      // overhead for in-memory payloads); an ffmpeg context would be
+      // created once here too
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
         md.reset()
         val sha = graft.model.Ids.hex(md.digest(m.payload))
-        val (luma, realW, realH) =
-          if (m.mediaType == "image") ImageDecoder.decodeMeanLuma(m.payload)
-          else (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height)
+        // per-row failure isolation (the extraction stage's error-side-
+        // output pattern): a corrupt payload yields a row with
+        // decodeError set, never a dead stage
+        val (luma, realW, realH, err) =
+          if (m.mediaType == "image")
+            try {
+              val (l, w, h) = ImageDecoder.decodeMeanLuma(m.payload)
+              (l, w, h, None)
+            } catch {
+              case e: Exception =>
+                (0.0, m.width, m.height,
+                  Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            }
+          else (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height, None)
         val (rw, rh) = DecoderStub.resize(realW, realH, resizeTarget)
         MediaFeatures(
           mediaId = m.mediaId, mediaType = m.mediaType,
@@ -164,7 +180,8 @@ object Multimodal {
           meanLuma = luma,
           resizedW = rw, resizedH = rh,
           nFramesSampled =
-            if (m.mediaType == "video") DecoderStub.sampleFrames(m.durationMs) else 1)
+            if (m.mediaType == "video") DecoderStub.sampleFrames(m.durationMs) else 1,
+          decodeError = err)
       }
     }
   }

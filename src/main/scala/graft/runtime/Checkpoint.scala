@@ -155,7 +155,11 @@ final class Checkpoint(spark: SparkSession, root: String) {
     */
   def runStageBucketed(stage: String, inputs: Seq[String], bucketCol: String,
                        nBuckets: Int = 16)(compute: => DataFrame): DataFrame = {
-    if (isCommitted(stage)) return readBucketed(stage)
+    // a root committed by the pre-bucketed layout has the manifest but no
+    // _TABLE.json: honor the resume contract by reading the committed
+    // plain parquet (un-bucketed — consumers just pay the exchange)
+    if (isCommitted(stage))
+      return if (Files.exists(tableSpecPath(stage))) readBucketed(stage) else read(stage)
     val t0 = System.nanoTime()
     val before = Observed.snapshot()
     val df = compute

@@ -42,24 +42,34 @@ object StreamingDedup {
       .withColumn("simhash", graft.functions.SimHash64(col("text")))
       .dropDuplicatesWithinWatermark("simhash")
 
-  private def bandCols(sh: org.apache.spark.sql.Column) =
-    posexplode(array((0 until 4).map { b =>
-      shiftright(sh, b * 16).bitwiseAND(lit(0xFFFFL))
-    }: _*)).as(Seq("band", "bandVal"))
-
   /** Static-side signature table for [[bandedNearDup]]: one row per
     * (band, bandVal, matchId, matchSh) — EXACTLY the batch
-    * [[graft.ops.Dedup.simhashPairs]] banding (4×16-bit pigeonhole), built
-    * by the periodic compaction job over the corpus-so-far. At scale this
-    * table is bucketed on (band, bandVal) and refreshed on the compaction
-    * cadence; candidates against documents newer than the last compaction
-    * surface on the next refresh (the documented freshness lag).
+    * [[graft.ops.Dedup.simhashPairs]] banding (the SHARED
+    * `Dedup.simhashBandCols` definition), built by the periodic compaction
+    * job over the corpus-so-far, with the SAME per-bucket skew cap as the
+    * batch path (a degenerate band value — boilerplate or empty documents
+    * — would otherwise fan every arriving document out against thousands
+    * of static rows): the `maxBucket` lowest ids per (band, bandVal)
+    * survive, drops are counted via observe. At scale this table is
+    * bucketed on (band, bandVal) and refreshed on the compaction cadence;
+    * candidates against documents newer than the last compaction surface
+    * on the next refresh (the documented freshness lag).
     */
   def bandSignatures(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("matchId"),
+                     idCol: String = "doc_id", maxBucket: Int = 256): DataFrame = {
+    val banded = docs.select(col(idCol).as("matchId"),
       graft.functions.SimHash64(col(textCol)).as("matchSh"))
-      .select(col("matchId"), col("matchSh"), bandCols(col("matchSh")))
+      .select(col("matchId"), col("matchSh"),
+        graft.ops.Dedup.simhashBandCols(col("matchSh")))
+    graft.runtime.Observed.install(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bandVal").orderBy("matchId")
+    banded.withColumn("rn", row_number().over(w))
+      .observe(graft.runtime.Observed.name("stream_band_cap"),
+        sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+      .where(col("rn") <= maxBucket)
+      .drop("rn")
+  }
 
   /** Streaming banded NEAR-dup candidates (below the exact-collision bar
     * [[simhashDedup]] handles): each arriving document joins STREAM-STATIC
@@ -68,14 +78,19 @@ object StreamingDedup {
     * within-watermark (docId, matchId) dedup (a pair can match in up to 4
     * bands). Emits (docId, ts, matchId, hamming ≤ maxHamming). Candidate
     * generation is identical to the batch path restricted to
-    * (new, already-compacted) pairs — StreamingSpec pins that equality.
+    * (new, already-compacted) pairs — StreamingSpec pins that equality —
+    * up to the shared bucket cap: on a capped bucket the batch path keeps
+    * pairs among the cap survivors, the stream path checks the arriving
+    * document against the same survivors (an arriving document always
+    * probes — it is one row, so the stream side cannot skew).
     */
   def bandedNearDup(docs: Dataset[Doc], signatures: DataFrame,
                     maxHamming: Int = 3, watermark: String = "10 minutes"): DataFrame = {
     val streamBands = docs.toDF()
       .withWatermark("ts", watermark)
       .withColumn("sh", graft.functions.SimHash64(col("text")))
-      .select(col("docId"), col("ts"), col("sh"), bandCols(col("sh")))
+      .select(col("docId"), col("ts"), col("sh"),
+        graft.ops.Dedup.simhashBandCols(col("sh")))
     streamBands.join(signatures, Seq("band", "bandVal"))
       .where(col("docId") =!= col("matchId"))
       .withColumn("hamming", bit_count(col("sh").bitwiseXOR(col("matchSh"))))

@@ -120,6 +120,21 @@ class CheckpointSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("runStageBucketed resumes a stage committed by the pre-bucketed layout") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("ckpt5").toString
+    val cp = new graft.runtime.Checkpoint(spark, root)
+    import spark.implicits._
+    // legacy commit: plain parquet + manifest, no _TABLE.json
+    cp.runStage("05_nodes", Nil)(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(!Files.exists(Paths.get(s"$root/05_nodes/_TABLE.json")))
+    // the bucketed stage honors the committed data instead of crashing
+    val out = cp.runStageBucketed("05_nodes", Nil, bucketCol = "id") {
+      fail("must not recompute a committed stage"); null
+    }
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("a killed run resumes from the last committed stage") {
     val root = Files.createTempDirectory("ckpt2").toString
     // simulate a partial run: commit only the first two stages

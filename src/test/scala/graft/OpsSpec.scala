@@ -349,6 +349,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.balanceBySize(media, 8).count() == 500)
   }
 
+  test("corrupt image payload isolates into decodeError — the stage survives") {
+    import spark.implicits._
+    val good = Multimodal.ImageDecoder.syntheticPng(1L, 8, 8)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", good, 8, 8, 16000, 1000L),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4), 8, 8, 16000, 1000L))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect().sortBy(_.mediaId)
+    assert(out(0).decodeError.isEmpty && out(0).meanLuma > 0.0)
+    assert(out(1).decodeError.nonEmpty, out(1).toString)
+  }
+
   test("image decode is REAL ImageIO: known image pins its exact mean luma") {
     // solid color → closed-form Rec.601 luma, penny-exact through the
     // lossless PNG round trip
