@@ -361,9 +361,32 @@ object Queries {
     out
   }
 
-  /** SimHash near-dup candidates (rows-only). */
-  val q25_simhash_dedup: Q = (s, d) =>
-    graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
+  /** SimHash near-dup candidates (rows-only), with an IN-RUN recall
+    * invariant: 4×16-bit pigeonhole banding is EXACT for Hamming ≤ 3
+    * (any such pair shares a full band), so every brute-force Hamming
+    * pair on a bounded slice must appear in the output — recall 1.0
+    * absent bucket caps, gated at ≥ 0.95 to tolerate capped boilerplate
+    * buckets (whose drops the observe counter reports).
+    */
+  val q25_simhash_dedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val out = graft.ops.Dedup.simhashPairs(docs, maxHamming = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docs.where(col("doc_id") < 300)
+      .select(col("doc_id").as("id"), graft.functions.SimHash64(col("text")).as("sh"))
+    val a = sh.select(col("id").as("idA"), col("sh").as("shA"))
+    val b = sh.select(col("id").as("idB"), col("sh").as("shB"))
+    val exact = a.crossJoin(b).where(col("idA") < col("idB") &&
+      bit_count(col("shA").bitwiseXOR(col("shB"))) <= 3)
+    val e = exact.count()
+    if (e >= 3) {
+      val hit = out.join(exact.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
+        .count()
+      require(hit.toDouble / e >= 0.95,
+        s"simhash banding recall collapsed: $hit of $e Hamming<=3 pairs on doc_id<300")
+    }
+    out
+  }
 
   /** Brute-force pairwise embedding cosine ≥ τ (oracle via
     * list_dot_product — same pattern as q16).
@@ -437,16 +460,35 @@ object Queries {
   val q29_langid: Q = (s, d) =>
     graft.ops.TextAnalysis.languageId(t(s, d, "documents"))
 
-  /** Document fingerprints (rows-only: xxhash64 not in DuckDB). */
-  val q30_fingerprint: Q = (s, d) =>
-    graft.ops.TextAnalysis.fingerprints(t(s, d, "documents"))
+  /** Document fingerprints (rows-only: xxhash64 not in DuckDB), with an
+    * IN-RUN kernel-parity invariant: the native TokenChainHash must equal
+    * the declarative aggregate-HOF spec on a bounded sample — a codegen
+    * regression in the kernel throws here instead of shipping silently
+    * divergent fingerprints.
+    */
+  val q30_fingerprint: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val bad = docs.where(col("doc_id") < 100)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("native"),
+        graft.ops.TextAnalysis.fingerprintSpec(col("text")).as("spec"))
+      .where(col("native") =!= col("spec")).count()
+    require(bad == 0, s"TokenChainHash diverged from its spec on $bad of 100 sample docs")
+    graft.ops.TextAnalysis.fingerprints(docs)
+  }
 
   /** Multimodal feature-extraction plumbing over a deterministic synthetic
-    * media corpus (decode stubbed; schema/batching real). Rows-only.
+    * media corpus (image decode REAL via ImageIO; audio/video stubbed).
+    * Rows-only, with an IN-RUN invariant: the synthetic corpus must decode
+    * with zero per-row errors and in-range luma.
     */
-  val q31_multimodal: Q = (s, _) =>
-    graft.ops.Multimodal.extractFeatures(
+  val q31_multimodal: Q = (s, _) => {
+    val out = graft.ops.Multimodal.extractFeatures(
       graft.ops.Multimodal.syntheticMedia(s, 2000)).toDF()
+    val bad = out.where(col("decodeError").isNotNull ||
+      col("meanLuma") < 0 || col("meanLuma") > 1).count()
+    require(bad == 0, s"$bad of 2000 synthetic media rows failed decode or range checks")
+    out
+  }
 
   /** Sessionization: per-user session ids via 30-min gaps — lag window +
     * running sum (streaming-shaped logic in batch form).
@@ -957,7 +999,18 @@ object Queries {
         f"kg_tripleset drifted from the closed-form oracle: P=$p%.4f R=$r%.4f")
       ts
     }),
-    "kg_stats" -> ((s, _) => graphout.GraphBuilder.stats(sharedKg(s).graph))
+    "kg_stats" -> ((s, _) => {
+      // in-run consistency invariant: the stats scalars must equal the
+      // graph's direct counts (cached tables — two cheap aggregates)
+      val res = sharedKg(s)
+      val st = graphout.GraphBuilder.stats(res.graph)
+      val m = st.where(col("key").isin("nodes", "edges")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      require(m("nodes") == res.graph.nodes.count().toDouble &&
+        m("edges") == res.graph.edges.count().toDouble,
+        s"kg_stats scalars diverged from direct graph counts: $m")
+      st
+    })
   )
 
   // one pipeline run shared by the kg_* entries (avoids recomputing the

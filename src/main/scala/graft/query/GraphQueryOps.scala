@@ -526,6 +526,86 @@ object GraphQueryOps {
     (settled.localCheckpoint(true), levels.toSeq)
   }
 
+  /** Per-source BFS tree from the driver fast path: node→(dist, σ) plus
+    * the per-depth levels (sorted) the Brandes backward pass consumes.
+    */
+  private final case class BfsTree(
+      src: Int,
+      dist: scala.collection.mutable.HashMap[Int, Int],
+      sigma: scala.collection.mutable.HashMap[Int, Long],
+      levels: IndexedSeq[Array[Int]])
+
+  /** In-memory mirror of [[multiSourceBfs]] for small graphs (mirrors the
+    * pagerank/eigenvector driver fast path, round-3 pattern): identical
+    * semantics — frontier expansion through ALL edge endpoints (including
+    * ids absent from the node table, exactly like the distributed frontier
+    * join), σ accumulated per level, the same bfs_depth_cutoff counter
+    * when the horizon cuts a live frontier. Distances/σ are integers, so
+    * the downstream closeness arithmetic is bit-identical to the
+    * distributed path by construction; the Brandes δ sums are fp and
+    * accumulated in sorted order (deterministic; ≡ distributed to 1e-9,
+    * GraphQuerySpec-pinned).
+    */
+  private def driverBfs(adj: Map[Int, Array[Int]], sources: Seq[Int],
+                        maxDepth: Int): Seq[BfsTree] = {
+    var cut = 0L
+    val trees = sources.map { s =>
+      val dist = scala.collection.mutable.HashMap(s -> 0)
+      val sigma = scala.collection.mutable.HashMap(s -> 1L)
+      val levels = scala.collection.mutable.ArrayBuffer[Array[Int]](Array(s))
+      var frontier = Array(s)
+      var d = 0
+      while (d < maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.HashMap.empty[Int, Long]
+        frontier.foreach { u =>
+          val su = sigma(u)
+          adj.getOrElse(u, Array.empty[Int]).foreach { v =>
+            if (!dist.contains(v)) next(v) = next.getOrElse(v, 0L) + su
+          }
+        }
+        frontier = next.keys.toArray.sorted
+        frontier.foreach { v => dist(v) = d + 1; sigma(v) = next(v) }
+        if (frontier.nonEmpty) levels += frontier
+        d += 1
+      }
+      if (d == maxDepth) cut += frontier.length
+      BfsTree(s, dist, sigma, levels.toIndexedSeq)
+    }
+    if (cut > 0)
+      graft.runtime.Observed.record("bfs_depth_cutoff",
+        Map("liveFrontierRows" -> cut))
+    trees
+  }
+
+  /** Driver-side replica of [[sampleSources]]' rule: the s ids with the
+    * smallest (xxhash64, id) — same hash (XXH64, seed 42), same order.
+    */
+  private def driverSampleSources(nodeIds: Array[String], samples: Int): Array[String] =
+    nodeIds.sortBy(id => (
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id), 42L), id))
+      .take(samples)
+
+  /** Collected (id-indexed) graph for the BFS fast paths, or None when the
+    * edge set exceeds the driver limit. The index covers node ids AND all
+    * edge endpoints — the distributed frontier join traverses THROUGH ids
+    * absent from the node table, and the fast path must too.
+    */
+  private def collectForBfs(g: Graph, edgeDf: DataFrame, driverLimit: Long)
+      : Option[(Array[String], Array[String], Map[Int, Array[Int]], Map[String, Int])] = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val es = edgeDf.limit(driverLimit.toInt + 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (es.length > driverLimit) return None
+    val nodeIds = g.nodes.toDF().select($"id").as[String].collect().sorted
+    val allIds = (nodeIds ++ es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val idx = allIds.zipWithIndex.toMap
+    val adj = es.map { case (a, b) => (idx(a), idx(b)) }
+      .groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).sorted }
+    Some((nodeIds, allIds, adj, idx))
+  }
+
   /** Q9 closeness centrality (incoming distances, networkx semantics) via
     * the Eppstein–Wang sampled estimator: s sampled sources, one BFS
     * frontier join per depth for ALL sources at once;
@@ -533,11 +613,39 @@ object GraphQueryOps {
     * EXACT when samples ≥ |V| (the estimator reduces to Wasserman–Faust
     * closeness). The reference's nx.closeness_centrality is all-pairs —
     * quadratic and impossible at 10^12; sampling is the scale path.
+    * Below [[DriverIterationLimit]] nodes+edges the BFS runs as an
+    * in-memory driver loop (a depth-D frontier-join loop on a tiny graph
+    * is D driver-blocking jobs of fixed latency); reached/sumDist are
+    * integers, so the estimate is bit-identical across the two paths.
     */
-  def closenessCentrality(g: Graph, samples: Int = 64, maxDepth: Int = 10): DataFrame = {
+  def closenessCentrality(g: Graph, samples: Int = 64, maxDepth: Int = 10,
+                          driverLimit: Long = DriverIterationLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val n = g.nodes.count().toDouble
+    if (n <= driverLimit) {
+      val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
+      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+        val srcs = driverSampleSources(nodeIds, samples)
+        val f = n / srcs.length.toDouble
+        val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
+        val sumDist = scala.collection.mutable.HashMap.empty[Int, Long]
+        val reached = scala.collection.mutable.HashMap.empty[Int, Long]
+        trees.foreach(_.dist.foreach { case (v, d) =>
+          if (d > 0) {
+            sumDist(v) = sumDist.getOrElse(v, 0L) + d
+            reached(v) = reached.getOrElse(v, 0L) + 1L
+          }
+        })
+        return spark.createDataset(nodeIds.toIndexedSeq.map { id =>
+          val v = idx(id)
+          val sd = sumDist.getOrElse(v, 0L)
+          val r = reached.getOrElse(v, 0L)
+          // the distributed expression verbatim: (r·r·f) / ((n−1)·Σd)
+          (id, if (sd > 0) (r * r * f) / ((n - 1) * sd) else 0.0)
+        }).toDF("id", "closeness")
+      }
+    }
     val sources = sampleSources(g, samples)
     val sCount = sources.count().toDouble
     val (settled, _) = multiSourceBfs(g, sources, maxDepth)
@@ -563,10 +671,25 @@ object GraphQueryOps {
     * BFS on the symmetrized edges: Σd / #reachable-pairs over s sampled
     * sources; EXACT (= nx) when samples ≥ |V| and the graph is connected.
     */
-  def avgShortestPathSampled(g: Graph, samples: Int = 32, maxDepth: Int = 15): Double = {
+  def avgShortestPathSampled(g: Graph, samples: Int = 32, maxDepth: Int = 15,
+                             driverLimit: Long = DriverIterationLimit): Double = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val dir = g.edges.toDF().select($"srcId", $"dstId")
+    if (g.nodes.count() <= driverLimit) {
+      val undDf = dir.union(dir.select($"dstId".as("srcId"), $"srcId".as("dstId")))
+        .distinct()
+      collectForBfs(g, undDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+        val srcs = driverSampleSources(nodeIds, samples)
+        val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
+        var s = 0L
+        var c = 0L
+        trees.foreach(_.dist.foreach { case (_, d) =>
+          if (d > 0) { s += d; c += 1 }
+        })
+        return if (c == 0) 0.0 else s.toDouble / c
+      }
+    }
     val und = dir.union(dir.select($"dstId".as("srcId"), $"srcId".as("dstId")))
     val undG = Graph(g.nodes, und
       .withColumn("id", concat($"srcId", lit("~"), $"dstId"))
@@ -592,10 +715,49 @@ object GraphQueryOps {
     * samples ≥ |V|. Directed, endpoints excluded (networkx defaults).
     */
   def betweennessCentrality(g: Graph, samples: Int = 32, maxDepth: Int = 10,
-                            normalized: Boolean = true): DataFrame = {
+                            normalized: Boolean = true,
+                            driverLimit: Long = DriverIterationLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val n = g.nodes.count().toDouble
+    if (n <= driverLimit) {
+      val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
+      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+        val srcs = driverSampleSources(nodeIds, samples)
+        val sCnt = srcs.length.toDouble
+        val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
+        val raw = scala.collection.mutable.HashMap.empty[Int, Double]
+        // Brandes backward pass per tree, deepest level first; successor
+        // and source sums in sorted order (the distributed groupBy order
+        // is arbitrary — fp-identical on unique-path graphs, ≡ to 1e-9
+        // otherwise, GraphQuerySpec-pinned)
+        trees.foreach { t =>
+          val delta = scala.collection.mutable.HashMap.empty[Int, Double]
+          var d = t.levels.size - 2
+          while (d >= 0) {
+            t.levels(d).foreach { v =>
+              var c = 0.0
+              adj.getOrElse(v, Array.empty[Int]).foreach { w =>
+                if (t.dist.get(w).contains(t.dist(v) + 1))
+                  c += (t.sigma(v).toDouble / t.sigma(w)) * (1.0 + delta.getOrElse(w, 0.0))
+              }
+              delta(v) = c
+            }
+            d -= 1
+          }
+          delta.toSeq.sortBy(_._1).foreach { case (v, dv) =>
+            if (v != t.src) raw(v) = raw.getOrElse(v, 0.0) + dv
+          }
+        }
+        val scale =
+          if (!normalized) n / sCnt
+          else if (n > 2) (n / sCnt) / ((n - 1) * (n - 2))
+          else 1.0
+        return spark.createDataset(nodeIds.toIndexedSeq.map { id =>
+          (id, raw.getOrElse(idx(id), 0.0) * scale)
+        }).toDF("id", "betweenness")
+      }
+    }
     val sources = sampleSources(g, samples)
     val sCount = sources.count().toDouble
     val (_, levels) = multiSourceBfs(g, sources, maxDepth)

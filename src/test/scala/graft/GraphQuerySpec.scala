@@ -298,6 +298,26 @@ class GraphQuerySpec extends SparkSpec {
     assert(evFast.keySet == evDist.keySet)
     evFast.foreach { case (k, v) =>
       assert(math.abs(v - evDist(k)) < 1e-9, s"$k: $v vs ${evDist(k)}") }
+
+    // sampled BFS family (round-4 fast paths): sampled sources, σ path
+    // counts, depth cutoffs, and the estimator arithmetic must all agree
+    val clFast = toMap(GraphQueryOps.closenessCentrality(gg, samples = 16, maxDepth = 8), "closeness")
+    val clDist = toMap(GraphQueryOps.closenessCentrality(gg, samples = 16, maxDepth = 8,
+      driverLimit = 0), "closeness")
+    assert(clFast.keySet == clDist.keySet)
+    clFast.foreach { case (k, v) =>
+      assert(math.abs(v - clDist(k)) < 1e-12, s"$k: $v vs ${clDist(k)}") }
+
+    val bcFast = toMap(GraphQueryOps.betweennessCentrality(gg, samples = 16, maxDepth = 8), "betweenness")
+    val bcDist = toMap(GraphQueryOps.betweennessCentrality(gg, samples = 16, maxDepth = 8,
+      driverLimit = 0), "betweenness")
+    assert(bcFast.keySet == bcDist.keySet)
+    bcFast.foreach { case (k, v) =>
+      assert(math.abs(v - bcDist(k)) < 1e-9, s"$k: $v vs ${bcDist(k)}") }
+
+    val apFast = GraphQueryOps.avgShortestPathSampled(gg, samples = 16)
+    val apDist = GraphQueryOps.avgShortestPathSampled(gg, samples = 16, driverLimit = 0)
+    assert(math.abs(apFast - apDist) < 1e-12, s"$apFast vs $apDist")
   }
 
   test("relationships between pair / of entity (graph.py:218-281)") {
