@@ -104,8 +104,10 @@ object Bench {
     // latency, identical at both levels); doubling the parallel work
     // halves that fraction and measures the SCALABLE part of the pipeline
     // — the thing the two-cluster-size rule is about. Same deterministic
-    // corpus at both levels, as always.
-    val kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "320000").toLong
+    // corpus at both levels, as always. `var`: a degraded host window
+    // (identical runs measured 26 s vs 233 s) halves the size until the
+    // schedule fits the budget — see the warmup probe below.
+    var kgFiles = sys.env.getOrElse("SPARK_GRAFT_KG_FILES", "320000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_KG_ROUNDS", "2").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "960").toInt
     // Scaling levels (BASELINE.md protocol, "subject to available cores"):
@@ -173,13 +175,35 @@ object Bench {
       s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},"scaling":null}"""
     locally {
       val warm = session(high, parts)
+      val t0 = System.nanoTime()
       kgRun(warm, (kgFiles / 2).max(1))
-      kgRun(warm, (kgFiles / 2).max(1))
+      val warmSec = (System.nanoTime() - t0) / 1e9
+      // the warmup doubles as a HOST PROBE: estimate one full-size H+L
+      // pair from it (full high ≈ 2× half-size; low ≈ 2.9× high — the
+      // measured clean-window ratios, +15% margin) and halve the corpus
+      // until the round schedule plus a catalog reserve fits the budget.
+      // A degraded window (this VM shows multi-minute episodes slowing
+      // identical runs up to 10x) then still produces a COMPLETE
+      // two-level measurement at a smaller size instead of a watchdog
+      // partial with "scaling": null — the required signal survives.
+      val origFiles = kgFiles
+      var estPair = warmSec * 2 * 3.9 * 1.15
+      val reserve = 260.0
+      while (rounds * estPair + reserve > remaining() && kgFiles > 40000) {
+        kgFiles /= 2
+        estPair /= 2
+      }
+      // second JIT warmup only when the budget clearly allows (C2 keeps
+      // compiling through the 2nd-3rd full run; losing some warmth is
+      // cheaper than losing the scaling signal)
+      val warm2Est = warmSec * (kgFiles.toDouble / origFiles)
+      if (rounds * estPair + reserve + warm2Est < remaining())
+        kgRun(warm, (kgFiles / 2).max(1))
       warm.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
-    (1 to rounds).foreach { _ =>
+    def onePair(): Unit = {
       val (hd, hc, hs, t1, hst) = timedRound(high, parts, kgFiles)
       highRounds += ((hd, hc, hs)); highStages += hst; triples = t1
       jsonRef.set(assemble(partialKg(), Nil, hd))
@@ -187,6 +211,14 @@ object Bench {
       lowRounds += ((ld, lc, ls)); lowStages += lst
       jsonRef.set(assemble(partialKg(), Nil, hd))
     }
+    (1 to rounds).foreach(_ => onePair())
+    // adaptive extra pair: min-of-rounds under episodic host steal is a
+    // noisy estimator — when the measured cost of the last pair plus a
+    // catalog reserve clearly fits the remaining budget, buy one more
+    // interleaved H/L pair (min-of-3 in fast windows; a slow host keeps
+    // the proven 2-pair schedule and its catalog coverage)
+    val lastPairCost = highRounds.last._1 + lowRounds.last._1
+    if (remaining() > lastPairCost * 1.5 + 240) onePair()
     val tHigh = highRounds.map(_._1).min
     val tLow = lowRounds.map(_._1).min
     val tpsHigh = triples / tHigh
