@@ -31,6 +31,28 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /** Pure budget-sizing rule (unit-tested — BenchSpec): from the warmup
+    * probe's half-size high-level time, estimate one full-size H+L pair
+    * (full high ≈ 2× half; low ≈ 2.9× high; +15% margin) and halve the
+    * corpus (floor 40k files) until `rounds` pairs plus a 260 s catalog
+    * reserve fit the remaining budget. Returns (sizedFiles, canAfford2ndWarmup).
+    */
+  def adaptKgFiles(kgFiles0: Long, warmSec: Double, remainingSec: Double,
+                   rounds: Int): (Long, Boolean) = {
+    var kgFiles = kgFiles0
+    var estPair = warmSec * 2 * 3.9 * 1.15
+    val reserve = 260.0
+    while (rounds * estPair + reserve > remainingSec && kgFiles > 40000) {
+      // exact 40k floor for any start (a plain halving of e.g. 60k would
+      // undershoot to 30k)
+      val next = (kgFiles / 2).max(40000L)
+      estPair *= next.toDouble / kgFiles
+      kgFiles = next
+    }
+    val warm2Est = warmSec * (kgFiles.toDouble / kgFiles0)
+    (kgFiles, rounds * estPair + reserve + warm2Est < remainingSec)
+  }
+
   private def session(cpus: Int, parts: Int): SparkSession = {
     val s = graft.runtime.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
@@ -186,30 +208,54 @@ object Bench {
       // identical runs up to 10x) then still produces a COMPLETE
       // two-level measurement at a smaller size instead of a watchdog
       // partial with "scaling": null — the required signal survives.
-      val origFiles = kgFiles
-      var estPair = warmSec * 2 * 3.9 * 1.15
-      val reserve = 260.0
-      while (rounds * estPair + reserve > remaining() && kgFiles > 40000) {
-        kgFiles /= 2
-        estPair /= 2
-      }
+      val (sized, secondWarmup) = adaptKgFiles(kgFiles, warmSec, remaining(), rounds)
+      kgFiles = sized
       // second JIT warmup only when the budget clearly allows (C2 keeps
       // compiling through the 2nd-3rd full run; losing some warmth is
       // cheaper than losing the scaling signal)
-      val warm2Est = warmSec * (kgFiles.toDouble / origFiles)
-      if (rounds * estPair + reserve + warm2Est < remaining())
-        kgRun(warm, (kgFiles / 2).max(1))
+      if (secondWarmup) kgRun(warm, (kgFiles / 2).max(1))
       warm.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+    // best-known kg block from the CURRENT rounds state: full scaling +
+    // stages as soon as both levels have a round, partial (scaling null)
+    // before that. Every jsonRef update goes through this, so a watchdog
+    // firing during any later round (including the adaptive extra pair)
+    // emits the complete measurement already banked — a steal episode can
+    // cost the extra round, never the scaling signal.
+    def kgJson(): String = {
+      if (highRounds.isEmpty || lowRounds.isEmpty) return partialKg()
+      val tHigh = highRounds.map(_._1).min
+      val tLow = lowRounds.map(_._1).min
+      val tpsHigh = triples / tHigh
+      val tpsLow = triples / tLow
+      val efficiency = (tpsHigh / tpsLow) / (high.toDouble / low)
+      // per-stage scaling: min-of-rounds per stage per level (same rule
+      // as the totals); stage efficiency = (secLow/secHigh) / (cpu ratio)
+      // — the stage does the identical work at both levels
+      val stageNames = highStages.headOption.map(_.map(_._1)).getOrElse(Nil)
+      def minStage(all: Seq[Seq[(String, Double)]], name: String): Double =
+        all.flatMap(_.collect { case (`name`, s) => s }).min
+      val stagesJson = stageNames.map { sn =>
+        val sh = minStage(highStages.toSeq, sn)
+        val sl = minStage(lowStages.toSeq, sn)
+        val eff = (sl / sh) / (high.toDouble / low)
+        s""""$sn":{"secHigh":${f"$sh%.3f"},"secLow":${f"$sl%.3f"},"efficiency":${f"$eff%.3f"}}"""
+      }.mkString("{", ",", "}")
+      s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},""" +
+        s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},""" +
+        s""""scaling":{"cpusLow":$low,"cpusHigh":$high,"shufflePartitions":$parts,""" +
+        s""""triplesPerSecLow":${f"$tpsLow%.1f"},"triplesPerSecHigh":${f"$tpsHigh%.1f"},""" +
+        s""""efficiency":${f"$efficiency%.3f"},"stages":$stagesJson}}"""
+    }
     def onePair(): Unit = {
       val (hd, hc, hs, t1, hst) = timedRound(high, parts, kgFiles)
       highRounds += ((hd, hc, hs)); highStages += hst; triples = t1
-      jsonRef.set(assemble(partialKg(), Nil, hd))
+      jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
       val (ld, lc, ls, _, lst) = timedRound(low, parts, kgFiles)
       lowRounds += ((ld, lc, ls)); lowStages += lst
-      jsonRef.set(assemble(partialKg(), Nil, hd))
+      jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
     }
     (1 to rounds).foreach(_ => onePair())
     // adaptive extra pair: min-of-rounds under episodic host steal is a
@@ -220,28 +266,7 @@ object Bench {
     val lastPairCost = highRounds.last._1 + lowRounds.last._1
     if (remaining() > lastPairCost * 1.5 + 240) onePair()
     val tHigh = highRounds.map(_._1).min
-    val tLow = lowRounds.map(_._1).min
-    val tpsHigh = triples / tHigh
-    val tpsLow = triples / tLow
-    val efficiency = (tpsHigh / tpsLow) / (high.toDouble / low)
-    // per-stage scaling: min-of-rounds per stage per level (same rule as
-    // the totals); stage efficiency = (secLow/secHigh) / (cpu ratio) —
-    // the stage does the identical work at both levels
-    val stageNames = highStages.headOption.map(_.map(_._1)).getOrElse(Nil)
-    def minStage(all: Seq[Seq[(String, Double)]], name: String): Double =
-      all.flatMap(_.collect { case (`name`, s) => s }).min
-    val stagesJson = stageNames.map { sn =>
-      val sh = minStage(highStages.toSeq, sn)
-      val sl = minStage(lowStages.toSeq, sn)
-      val eff = (sl / sh) / (high.toDouble / low)
-      s""""$sn":{"secHigh":${f"$sh%.3f"},"secLow":${f"$sl%.3f"},"efficiency":${f"$eff%.3f"}}"""
-    }.mkString("{", ",", "}")
-    val kg =
-      s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},""" +
-      s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},""" +
-      s""""scaling":{"cpusLow":$low,"cpusHigh":$high,"shufflePartitions":$parts,""" +
-      s""""triplesPerSecLow":${f"$tpsLow%.1f"},"triplesPerSecHigh":${f"$tpsHigh%.1f"},""" +
-      s""""efficiency":${f"$efficiency%.3f"},"stages":$stagesJson}}"""
+    val kg = kgJson()
     jsonRef.set(assemble(kg, Nil, tHigh))
 
     // ---- 2. query catalog timings at local[cpus], budget-guarded

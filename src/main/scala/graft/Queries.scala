@@ -468,10 +468,12 @@ object Queries {
     */
   val q30_fingerprint: Q = (s, d) => {
     val docs = t(s, d, "documents")
+    // null-safe inequality: a kernel regression that returns NULL (not a
+    // wrong long) must count as divergence, and =!= is null-swallowing
     val bad = docs.where(col("doc_id") < 100)
       .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("native"),
         graft.ops.TextAnalysis.fingerprintSpec(col("text")).as("spec"))
-      .where(col("native") =!= col("spec")).count()
+      .where(!(col("native") <=> col("spec"))).count()
     require(bad == 0, s"TokenChainHash diverged from its spec on $bad of 100 sample docs")
     graft.ops.TextAnalysis.fingerprints(docs)
   }
@@ -482,8 +484,12 @@ object Queries {
     * with zero per-row errors and in-range luma.
     */
   val q31_multimodal: Q = (s, _) => {
+    // persisted like its q24/q25/q27/q28 siblings: the invariant count
+    // and the driver's consumption would otherwise each run the full
+    // 2000-image ImageIO decode pass
     val out = graft.ops.Multimodal.extractFeatures(
       graft.ops.Multimodal.syntheticMedia(s, 2000)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bad = out.where(col("decodeError").isNotNull ||
       col("meanLuma") < 0 || col("meanLuma") > 1).count()
     require(bad == 0, s"$bad of 2000 synthetic media rows failed decode or range checks")
@@ -1000,15 +1006,21 @@ object Queries {
       ts
     }),
     "kg_stats" -> ((s, _) => {
-      // in-run consistency invariant: the stats scalars must equal the
-      // graph's direct counts (cached tables — two cheap aggregates)
-      val res = sharedKg(s)
-      val st = graphout.GraphBuilder.stats(res.graph)
-      val m = st.where(col("key").isin("nodes", "edges")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      require(m("nodes") == res.graph.nodes.count().toDouble &&
-        m("edges") == res.graph.edges.count().toDouble,
-        s"kg_stats scalars diverged from direct graph counts: $m")
+      // in-run consistency invariant over INDEPENDENT computations: the
+      // per-type groupBy breakdowns must sum back to the count scalars
+      // (different aggregation paths over the cached tables), and the
+      // density row must equal the formula applied to the returned
+      // scalars — a wiring regression in any of the three unions throws
+      val st = graphout.GraphBuilder.stats(sharedKg(s).graph)
+      val rows = st.collect().map(r => r.getString(0) -> r.getDouble(1))
+      val m = rows.toMap
+      val entitySum = rows.filter(_._1.startsWith("entity:")).map(_._2).sum
+      val relSum = rows.filter(_._1.startsWith("rel:")).map(_._2).sum
+      val density =
+        if (m("nodes") > 1) m("edges") / (m("nodes") * (m("nodes") - 1)) else 0.0
+      require(entitySum == m("nodes") && relSum == m("edges") &&
+        math.abs(density - m("density")) < 1e-12,
+        s"kg_stats internal inconsistency: typeSums=($entitySum,$relSum) vs $m")
       st
     })
   )

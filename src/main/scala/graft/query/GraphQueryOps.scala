@@ -592,18 +592,21 @@ object GraphQueryOps {
     * absent from the node table, and the fast path must too.
     */
   private def collectForBfs(g: Graph, edgeDf: DataFrame, driverLimit: Long)
-      : Option[(Array[String], Array[String], Map[Int, Array[Int]], Map[String, Int])] = {
+      : Option[(Array[String], Map[Int, Array[Int]], Map[String, Int])] = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val es = edgeDf.limit(driverLimit.toInt + 1).collect()
+    // clamp before toInt: a configured limit above Int.MaxValue would
+    // wrap and silently truncate the edge probe to an arbitrary subset
+    val lim = math.min(driverLimit, (Int.MaxValue - 2).toLong).toInt
+    val es = edgeDf.limit(lim + 1).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    if (es.length > driverLimit) return None
+    if (es.length > lim) return None
     val nodeIds = g.nodes.toDF().select($"id").as[String].collect().sorted
     val allIds = (nodeIds ++ es.map(_._1) ++ es.map(_._2)).distinct.sorted
     val idx = allIds.zipWithIndex.toMap
     val adj = es.map { case (a, b) => (idx(a), idx(b)) }
       .groupBy(_._1).map { case (u, ps) => u -> ps.map(_._2).sorted }
-    Some((nodeIds, allIds, adj, idx))
+    Some((nodeIds, adj, idx))
   }
 
   /** Q9 closeness centrality (incoming distances, networkx semantics) via
@@ -625,7 +628,7 @@ object GraphQueryOps {
     val n = g.nodes.count().toDouble
     if (n <= driverLimit) {
       val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
-      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val f = n / srcs.length.toDouble
         val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
@@ -679,7 +682,7 @@ object GraphQueryOps {
     if (g.nodes.count() <= driverLimit) {
       val undDf = dir.union(dir.select($"dstId".as("srcId"), $"srcId".as("dstId")))
         .distinct()
-      collectForBfs(g, undDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+      collectForBfs(g, undDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
         var s = 0L
@@ -722,7 +725,7 @@ object GraphQueryOps {
     val n = g.nodes.count().toDouble
     if (n <= driverLimit) {
       val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
-      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, _, adj, idx) =>
+      collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val sCnt = srcs.length.toDouble
         val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)

@@ -277,11 +277,15 @@ class GraphQuerySpec extends SparkSpec {
     def ent(id: String) = Entity(id, id, "t", None, Map.empty, 1.0, "", "", "", "")
     def rel(id: String, s: String, d: String) =
       Triple(id, s, d, "", "", "r", None, bidirectional = false, 1.0, 1.0, "")
-    // 40 nodes, hubs + a dangling tail, deterministic pseudo-random wiring
+    // 40 nodes, hubs + a dangling tail, deterministic pseudo-random
+    // wiring — PLUS edges through a ghost id absent from the node table
+    // (the distributed BFS frontier traverses through unknown endpoints;
+    // the driver fast path must replicate that)
     val nodes = (0 until 40).map(i => ent(f"n$i%02d"))
     val edges = (0 until 120).map { i =>
       rel(s"e$i", f"n${i * 7 % 40}%02d", f"n${(i * 13 + 3) % 37}%02d")
-    }
+    } ++ Seq(rel("gx1", "n00", "zz_ghost"), rel("gx2", "zz_ghost", "n05"),
+      rel("gx3", "n11", "zz_ghost"))
     val gg = graft.graphout.GraphBuilder.Graph(nodes.toDS(), edges.toDS())
     def toMap(df: org.apache.spark.sql.DataFrame, col: String) =
       df.collect().map(r => r.getAs[String]("id") -> r.getAs[Double](col)).toMap
@@ -318,6 +322,19 @@ class GraphQuerySpec extends SparkSpec {
     val apFast = GraphQueryOps.avgShortestPathSampled(gg, samples = 16)
     val apDist = GraphQueryOps.avgShortestPathSampled(gg, samples = 16, driverLimit = 0)
     assert(math.abs(apFast - apDist) < 1e-12, s"$apFast vs $apDist")
+
+    // depth-cutoff parity: maxDepth below the graph's reach — both paths
+    // must cut the SAME frontier and agree on the truncated estimates
+    val clCutF = toMap(GraphQueryOps.closenessCentrality(gg, samples = 16, maxDepth = 2), "closeness")
+    val clCutD = toMap(GraphQueryOps.closenessCentrality(gg, samples = 16, maxDepth = 2,
+      driverLimit = 0), "closeness")
+    clCutF.foreach { case (k, v) =>
+      assert(math.abs(v - clCutD(k)) < 1e-12, s"cutoff $k: $v vs ${clCutD(k)}") }
+    val bcCutF = toMap(GraphQueryOps.betweennessCentrality(gg, samples = 16, maxDepth = 2), "betweenness")
+    val bcCutD = toMap(GraphQueryOps.betweennessCentrality(gg, samples = 16, maxDepth = 2,
+      driverLimit = 0), "betweenness")
+    bcCutF.foreach { case (k, v) =>
+      assert(math.abs(v - bcCutD(k)) < 1e-9, s"cutoff $k: $v vs ${bcCutD(k)}") }
   }
 
   test("relationships between pair / of entity (graph.py:218-281)") {
