@@ -2,35 +2,44 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bench's budget-sizing rule, pinned against the two windows that
-  * motivated it (BASELINE.md round-4): a degraded host window must yield
-  * a COMPLETE smaller-size two-level measurement, never a watchdog
-  * partial with `"scaling": null`; a healthy window keeps the full
-  * corpus and the second JIT warmup.
+/** The bench's budget-scheduling rule, pinned against the host windows
+  * that motivated it (BASELINE.md round-4): a degraded window must yield
+  * a COMPLETE two-level measurement with as much efficiency-signal
+  * quality as the budget allows (corpus floor 160k before dropping
+  * rounds, and only then the 40k hard floor), never a watchdog partial
+  * with `"scaling": null`.
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("healthy window keeps 320k files and affords the second warmup") {
+  test("healthy window keeps 320k files, both pairs, and the second warmup") {
     // measured healthy half-size warmup ≈ 16 s, ~900 s budget left
-    val (files, warm2) = Bench.adaptKgFiles(320000L, 16.0, 900.0, rounds = 2)
-    assert(files == 320000L)
+    val (files, rounds, warm2) = Bench.adaptSchedule(320000L, 16.0, 900.0, rounds0 = 2)
+    assert(files == 320000L && rounds == 2)
     assert(warm2)
   }
 
-  test("degraded window (the measured 26s-vs-233s episode) downsizes and completes") {
+  test("degraded window (the measured 26s-vs-233s episode) holds the 160k floor and drops to one pair") {
     // measured degraded half-size warmup ≈ 95 s, ~860 s budget left:
-    // full schedule would need 2×(95·2·3.9·1.15) ≈ 1700 s — impossible;
-    // the rule must shrink until two pairs + the catalog reserve fit
-    val (files, _) = Bench.adaptKgFiles(320000L, 95.0, 860.0, rounds = 2)
-    assert(files < 320000L, s"must downsize, kept $files")
-    // the chosen size actually fits: scaled pair estimate × rounds + reserve
+    // two 320k pairs ≈ 1700 s — impossible; two 160k pairs ≈ 1110 s —
+    // still impossible; ONE 160k pair + reserve fits. Signal order:
+    // corpus floor BEFORE round count, 80k/40k only as a last resort
+    // (a clean 80k pair measures ≈0.37 efficiency where 320k reads 0.74
+    // — sub-160k numbers are fixed-overhead noise)
+    val (files, rounds, _) = Bench.adaptSchedule(320000L, 95.0, 860.0, rounds0 = 2)
+    assert(files == 160000L, s"must hold the 160k floor, got $files")
+    assert(rounds == 1)
     val estPair = 95.0 * 2 * 3.9 * 1.15 * (files.toDouble / 320000L)
-    assert(2 * estPair + 260.0 <= 860.0, s"files=$files estPair=$estPair")
+    assert(rounds * estPair + 260.0 <= 860.0, s"files=$files estPair=$estPair")
   }
 
-  test("catastrophic window floors at 40k instead of shrinking to nothing") {
-    val (files, warm2) = Bench.adaptKgFiles(320000L, 400.0, 500.0, rounds = 2)
-    assert(files == 40000L)
+  test("catastrophic window floors at 40k with one pair instead of shrinking to nothing") {
+    val (files, rounds, warm2) = Bench.adaptSchedule(320000L, 400.0, 500.0, rounds0 = 2)
+    assert(files == 40000L && rounds == 1)
     assert(!warm2)
+  }
+
+  test("non-power-of-two start lands exactly on the floor") {
+    val (files, _, _) = Bench.adaptSchedule(60000L, 400.0, 300.0, rounds0 = 2)
+    assert(files == 40000L, s"got $files")
   }
 }
