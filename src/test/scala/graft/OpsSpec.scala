@@ -417,6 +417,26 @@ class StorageSpec extends SparkSpec {
     storage.delete("gp")
   }
 
+  test("unversioned saves write fresh work dirs, flip the pointer, and GC the superseded one") {
+    val g = Fixtures.queryGraph(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graphs_work").toString
+    val storage = new graft.graphout.GraphStorage(spark, tmp)
+    val v1 = storage.save("gw", g, createVersion = false)
+    val w1 = java.nio.file.Paths.get(s"$tmp/gw/work/v$v1")
+    assert(java.nio.file.Files.exists(w1))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/gw/_CURRENT.json")).contains(s"work/v$v1"))
+    val v2 = storage.save("gw", g, createVersion = false)
+    // pointer flipped to the fresh dir; the superseded scratch dir is GC'd
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/gw/_CURRENT.json")).contains(s"work/v$v2"))
+    assert(!java.nio.file.Files.exists(w1), "superseded work dir must be GC'd")
+    assert(storage.load("gw").nodes.count() == g.nodes.count())
+    // unversioned saves never appear in the version list
+    assert(storage.listVersions("gw").isEmpty)
+    storage.delete("gw")
+  }
+
   test("save/load roundtrip preserves counts (test_graph.py:314-315)") {
     val g = Fixtures.queryGraph(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graphs").toString

@@ -112,6 +112,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((0L, 100L)) && streamed.contains((1L, 103L)))
   }
 
+  test("bandSignatures caps hot band buckets with an observed drop counter") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    // 30 identical docs share every band value — a degenerate bucket
+    val docs = (0 until 30)
+      .map(i => (i.toLong, "identical boilerplate text shared by every document row"))
+      .toDF("doc_id", "text")
+    graft.runtime.Observed.clear("stream_band_cap")
+    val sigs = StreamingDedup.bandSignatures(docs, maxBucket = 4)
+    // 4 bands × cap 4 survivors
+    assert(sigs.count() == 16L)
+    val perBucket = sigs.groupBy("band", "bandVal").count()
+      .collect().map(_.getLong(2))
+    assert(perBucket.forall(_ <= 4), perBucket.mkString(","))
+    def poll(): Option[Long] =
+      graft.runtime.Observed.get("stream_band_cap").map(_("dropped"))
+    val deadline = System.currentTimeMillis() + 10000
+    while (poll().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    // 30 docs × 4 bands, cap 4 → 26 dropped per band = 104
+    assert(poll().contains(104L), s"observed=${poll()}")
+  }
+
   test("stateful streaming sessionization: gap closes on arrival, watermark timeout closes the tail") {
     import spark.implicits._
     import graft.streaming.StreamingSessions
