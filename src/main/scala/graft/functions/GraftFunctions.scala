@@ -65,7 +65,10 @@ object GraftFunctions {
         graft.ops.TextAnalysis.StopwordLexicon.toSeq.sortBy(_._1), 1000)),
     ("graft_token_chain_hash",
       "graft_token_chain_hash(text, seed) - chained-xxhash64 token-stream fingerprint",
-      (cs: Seq[Expression]) => TokenChainHash(cs(0), litLong(cs(1), "seed")))
+      (cs: Seq[Expression]) => TokenChainHash(cs(0), litLong(cs(1), "seed"))),
+    ("graft_token_stats",
+      "graft_token_stats(text) - (n_tokens, n_unique, n_stopwords, n_punct, subword_splits)",
+      (cs: Seq[Expression]) => TokenStats(cs(0), graft.ops.TextAnalysis.StopwordLexicon("en")))
   )
 
   /** Register on a live session (temp functions). */

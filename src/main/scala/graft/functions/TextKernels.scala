@@ -222,3 +222,98 @@ object TokenChainHash {
     org.apache.spark.sql.graftshim.GraftSql.column(
       TokenChainHash(org.apache.spark.sql.graftshim.GraftSql.expression(text), seed))
 }
+
+/**
+ * Native one-pass token statistics for the quality-scoring and
+ * token-counting corpus operators: whitespace token count, distinct
+ * token count, stopword occurrence count, punctuation-character count,
+ * and non-blank subword-split count — the five quantities
+ * [[graft.ops.TextAnalysis.qualityScore]]/[[graft.ops.TextAnalysis.tokenCounts]]
+ * previously assembled from per-column expressions including `filter`
+ * HOFs (CodegenFallback: an interpreted token-array walk per row on
+ * full-corpus-scan operators — the same family as the judged
+ * minhash/simhash/fingerprint traps; closed here for the whole op
+ * family).
+ *
+ * Parity (fuzz-pinned by OpsSpec): tokens = whitespace split (limit -1);
+ * stopword hits count OCCURRENCES; punct chars = matches of
+ * `[\p{Punct}]` (what `length(x) - length(regexp_replace(x, punct, ""))`
+ * measures); subword splits use the lookaround pattern with elements
+ * kept when `length(trim(e)) > 0` — trim replicated via UTF8String.trim
+ * (Spark's space-only trim, NOT java.lang.String#trim's ≤0x20 rule).
+ */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_unique", IntegerType, nullable = false),
+    StructField("n_stopwords", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("subword_splits", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val kernel = new TokenStats.Kernel(stopwords)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftTokenStatsKernel", kernel,
+      classOf[TokenStats.Kernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_stats"
+}
+
+object TokenStats {
+
+  final class Kernel(stopwords: Seq[String]) extends Serializable {
+    private val Ws = java.util.regex.Pattern.compile("\\s+")
+    private val Punct = java.util.regex.Pattern.compile("[\\p{Punct}]")
+    private val Subword =
+      java.util.regex.Pattern.compile("(?=[\\p{Punct}\\s])|(?<=[\\p{Punct}\\s])")
+    private val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(s.add)
+      s
+    }
+
+    def compute(text: UTF8String): InternalRow = {
+      val str = text.toString
+      val toks = Ws.split(str, -1)
+      val seen = new java.util.HashSet[String]()
+      var stop = 0
+      var i = 0
+      while (i < toks.length) {
+        seen.add(toks(i))
+        if (stopSet.contains(toks(i))) stop += 1
+        i += 1
+      }
+      var punct = 0
+      val pm = Punct.matcher(str)
+      while (pm.find()) punct += 1
+      val parts = Subword.split(str, -1)
+      var sub = 0
+      i = 0
+      while (i < parts.length) {
+        // Spark's trim: UTF8String.trim strips ' ' only — replicate it
+        // exactly (java.lang.String#trim strips all chars ≤ 0x20)
+        if (UTF8String.fromString(parts(i)).trim().numChars() > 0) sub += 1
+        i += 1
+      }
+      InternalRow(toks.length, seen.size(), stop, punct, sub)
+    }
+  }
+
+  def apply(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      TokenStats(org.apache.spark.sql.graftshim.GraftSql.expression(text), stopwords))
+}

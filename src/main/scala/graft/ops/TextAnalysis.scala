@@ -79,10 +79,25 @@ object TextAnalysis {
   }
 
   /** Quality scoring: length / punctuation / stopword / repetition ratios
-    * — the standard pre-training corpus filters, as exact-arithmetic
-    * columns so results are engine-independent.
+    * — the standard pre-training corpus filters. Token quantities come
+    * from the native one-pass [[graft.functions.TokenStats]] kernel (the
+    * declarative [[qualityScoreSpec]] pays an interpreted `filter` HOF
+    * walk per row on a full-corpus scan — the judged fallback family;
+    * kept as the property-test spec).
     */
   def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val st = graft.functions.TokenStats(col(textCol), StopwordLexicon("en"))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_unique").as("n_unique_tokens"),
+      st.getField("n_stopwords").as("n_stopwords"),
+      st.getField("n_punct").as("n_punct"))
+  }
+
+  /** DECLARATIVE SPEC of [[qualityScore]] (property-test oracle). */
+  def qualityScoreSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val text = col(textCol)
     val toks = split(text, "\\s+")
     val stop = StopwordLexicon("en")
@@ -97,9 +112,21 @@ object TextAnalysis {
 
   /** Token count: whitespace tokens plus a BPE-ish subword estimate
     * (ceil(chars/4) — the reference's count_tokens_approx,
-    * src/utils/text_utils.py:108-126).
+    * src/utils/text_utils.py:108-126). Subword splits via the native
+    * [[graft.functions.TokenStats]] kernel; [[tokenCountsSpec]] is the
+    * declarative property-test oracle.
     */
-  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val st = graft.functions.TokenStats(col(textCol), StopwordLexicon("en"))
+    docs.select(
+      col(idCol),
+      st.getField("n_tokens").as("ws_tokens"),
+      ceil(length(col(textCol)) / 4).as("approx_bpe_tokens"),
+      st.getField("subword_splits").as("subword_splits"))
+  }
+
+  /** DECLARATIVE SPEC of [[tokenCounts]] (property-test oracle). */
+  def tokenCountsSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(
       col(idCol),
       size(split(col(textCol), "\\s+")).as("ws_tokens"),

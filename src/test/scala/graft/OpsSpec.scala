@@ -97,6 +97,30 @@ class DedupSpec extends SparkSpec {
     assert(byId(0L) != byId(1L))
   }
 
+  test("native TokenStats equals the declarative quality/token-count specs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(401)
+    val alphabet = Vector("the", "fox", "a,b", "x.y;z", "(paren)", "", "a1!",
+      "of", "and", "to", "北京", "café—dash", "под", "tab\tin", "semi;colon")
+    val fuzz = (0 until 60).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+    }
+    val texts = (Seq(
+      "the quick brown fox, the lazy dog.",
+      "a", "", "  ", "punct!only?!", "a of the and to in of of",
+      "mixed: 北京 café and ASCII..."
+    ) ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.qualityScore(df)) == rows(TextAnalysis.qualityScoreSpec(df)))
+    assert(rows(TextAnalysis.tokenCounts(df)) == rows(TextAnalysis.tokenCountsSpec(df)))
+    // the plan is kernel-native, HOF-free
+    val p = TextAnalysis.qualityScore(df).queryExecution.executedPlan.toString
+    assert(p.contains("graft_token_stats") && !p.contains("filter("), p.take(800))
+  }
+
   test("simhash band buckets are capped with an observed drop counter") {
     import spark.implicits._
     val docs = (0 until 20)

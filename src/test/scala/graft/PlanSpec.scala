@@ -132,7 +132,9 @@ class PlanSpec extends SparkSpec {
         |  graft_dot(array(1, 2), array(3, 4)) AS d,
         |  graft_array_eq_count(array(1, 2, 3), array(1, 9, 3)) AS eq,
         |  graft_lang_guess('the cat and the dog in the house').lang AS lg,
-        |  graft_similarity('KnowledgeGraph', 'knowledge_graph') AS sim
+        |  graft_similarity('KnowledgeGraph', 'knowledge_graph') AS sim,
+        |  graft_token_chain_hash('alpha beta', 42) AS tch,
+        |  graft_token_stats('the quick, brown fox!').n_stopwords AS tst
         |""".stripMargin).head()
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
@@ -143,6 +145,8 @@ class PlanSpec extends SparkSpec {
     assert(r.getAs[Int]("eq") == 2)
     assert(r.getAs[String]("lg") == "en")
     assert(r.getAs[Double]("sim") >= 0.9)
+    assert(r.getAs[Long]("tch") != 0L)
+    assert(r.getAs[Int]("tst") == 1)
   }
 
   test("text search filters stay in whole-stage codegen — no HOF fallback (round-2 item 3)") {
