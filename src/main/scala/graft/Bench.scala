@@ -65,7 +65,9 @@ object Bench {
         kgFiles = next
       }
     shrinkTo(160000L)
-    if (!fits && rounds > 1) rounds = 1
+    // stepwise: every affordable interleaved pair is kept (a straight
+    // jump to 1 would discard min-of-2 robustness when rounds0 ≥ 3)
+    while (!fits && rounds > 1) rounds -= 1
     shrinkTo(40000L)
     val warm2Est = warmSec * (kgFiles.toDouble / kgFiles0)
     (kgFiles, rounds, rounds * estPair + reserve + warm2Est < remainingSec)

@@ -29,12 +29,13 @@ object TextAnalysis {
     * interpreted once per language plus twice for the argmax sort — the
     * HOF CodegenFallback trap at k=5; kept as the property-test spec).
     */
-  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val g = graft.functions.LangGuess(col(textCol), StopwordLexicon)
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // two projections — one structural kernel evaluation (see qualityScore)
     docs.select(col(idCol),
-      g.getField("lang").as("lang_guess"),
-      g.getField("hits").as("lang_hits"))
-  }
+      graft.functions.LangGuess(col(textCol), StopwordLexicon).as("_lg"))
+      .select(col(idCol),
+        col("_lg.lang").as("lang_guess"),
+        col("_lg.hits").as("lang_hits"))
 
   /** DECLARATIVE SPEC of [[languageId]] (property-test oracle). */
   def languageIdSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -85,16 +86,22 @@ object TextAnalysis {
     * walk per row on a full-corpus scan — the judged fallback family;
     * kept as the property-test spec).
     */
-  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val st = graft.functions.TokenStats(col(textCol), StopwordLexicon("en"))
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // two projections: the kernel is evaluated ONCE per row structurally
+    // (CollapseProject keeps a non-cheap alias referenced 4x in its own
+    // Project) instead of relying on subexpression elimination to dedupe
+    // 4 getField copies — OpsSpec pins one kernel evaluation in the plan
     docs.select(
       col(idCol),
       length(col(textCol)).as("n_chars"),
-      st.getField("n_tokens").as("n_tokens"),
-      st.getField("n_unique").as("n_unique_tokens"),
-      st.getField("n_stopwords").as("n_stopwords"),
-      st.getField("n_punct").as("n_punct"))
-  }
+      graft.functions.TokenStats(col(textCol), StopwordLexicon("en")).as("_st"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        col("_st.n_tokens").as("n_tokens"),
+        col("_st.n_unique").as("n_unique_tokens"),
+        col("_st.n_stopwords").as("n_stopwords"),
+        col("_st.n_punct").as("n_punct"))
 
   /** DECLARATIVE SPEC of [[qualityScore]] (property-test oracle). */
   def qualityScoreSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -116,14 +123,16 @@ object TextAnalysis {
     * [[graft.functions.TokenStats]] kernel; [[tokenCountsSpec]] is the
     * declarative property-test oracle.
     */
-  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val st = graft.functions.TokenStats(col(textCol), StopwordLexicon("en"))
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(
       col(idCol),
-      st.getField("n_tokens").as("ws_tokens"),
       ceil(length(col(textCol)) / 4).as("approx_bpe_tokens"),
-      st.getField("subword_splits").as("subword_splits"))
-  }
+      graft.functions.TokenStats(col(textCol), StopwordLexicon("en")).as("_st"))
+      .select(
+        col(idCol),
+        col("_st.n_tokens").as("ws_tokens"),
+        col("approx_bpe_tokens"),
+        col("_st.subword_splits").as("subword_splits"))
 
   /** DECLARATIVE SPEC of [[tokenCounts]] (property-test oracle). */
   def tokenCountsSpec(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -116,9 +116,14 @@ class DedupSpec extends SparkSpec {
       d.orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(rows(TextAnalysis.qualityScore(df)) == rows(TextAnalysis.qualityScoreSpec(df)))
     assert(rows(TextAnalysis.tokenCounts(df)) == rows(TextAnalysis.tokenCountsSpec(df)))
-    // the plan is kernel-native, HOF-free
-    val p = TextAnalysis.qualityScore(df).queryExecution.executedPlan.toString
+    // the plan is kernel-native, HOF-free, and evaluates the kernel ONCE
+    // per row (two-projection structure, not optimizer-dependent CSE) —
+    // pinned on a parquet scan (a local relation constant-folds the
+    // whole projection into a LocalTableScan)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = TextAnalysis.qualityScore(docs).queryExecution.executedPlan.toString
     assert(p.contains("graft_token_stats") && !p.contains("filter("), p.take(800))
+    assert("graft_token_stats".r.findAllIn(p).size == 1, p.take(800))
   }
 
   test("simhash band buckets are capped with an observed drop counter") {
