@@ -85,13 +85,13 @@ object Bench {
     * recorded per round so episodic hypervisor CPU-steal is visible in
     * the output instead of silently skewing a level.
     */
-  private def calibrate(): Double = {
+  private def calibrate(iters: Int = 20000): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val buf = new Array[Byte](4096)
     val t0 = System.nanoTime()
     var i = 0
-    while (i < 20000) { buf(0) = i.toByte; md.digest(buf); i += 1 }
-    20000 * 4096 / ((System.nanoTime() - t0) / 1e9) / 1e6
+    while (i < iters) { buf(0) = i.toByte; md.digest(buf); i += 1 }
+    iters.toLong * 4096 / ((System.nanoTime() - t0) / 1e9) / 1e6
   }
 
   /** Hypervisor steal ticks from /proc/stat — the OTHER host-state probe:
@@ -195,13 +195,22 @@ object Bench {
     // round 2 (the bench's own no-silent-caps rule applied to itself)
     val allQueryNames = SparkEntry.queries.keys.toSeq.sorted
     val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-entry host stamp (round-4 verdict item 1: single-shot catalog
+    // timings with no host probe mis-flagged "regressions" two rounds
+    // running): steal permille across the entry's own window + a cheap
+    // calMBs probe, plus how many runs the entry got (dirty-window retry)
+    final case class HostStamp(stealPermille: Long, calMBs: Double, runs: Int)
+    val stamps = scala.collection.mutable.HashMap.empty[String, HostStamp]
     def assemble(kg: String, qs: Seq[(String, Double)], total: Double): String = {
       val q = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val qh = qs.flatMap { case (k, _) => stamps.get(k).map(s =>
+        "\"" + k + "\":" + f"""{"stealPermille":${s.stealPermille},"calMBs":${s.calMBs}%.0f,"runs":${s.runs}}""") }
+        .mkString("{", ",", "}")
       val done = qs.map(_._1).toSet ++ failedNames
       val failed = failedNames.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skipped = allQueryNames.filterNot(done)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"failed":$failed,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"queriesHost":$qh,"failed":$failed,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
     }
 
     // ---- 1. the required signal: interleaved scaling (high, low)×rounds.
@@ -282,33 +291,69 @@ object Bench {
       jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
     }
     (1 to rounds).foreach(_ => onePair())
-    // adaptive extra pair: min-of-rounds under episodic host steal is a
-    // noisy estimator — when the measured cost of the last pair plus a
-    // catalog reserve clearly fits the remaining budget, buy one more
-    // interleaved H/L pair (min-of-3 in fast windows; a slow host keeps
-    // the proven 2-pair schedule and its catalog coverage)
-    val lastPairCost = highRounds.last._1 + lowRounds.last._1
-    if (remaining() > lastPairCost * 1.5 + 240) onePair()
+    // extra interleaved pairs, two triggers (round-4 verdict item 1b):
+    //  - RETRY-FOR-CLEAN-LOW: every planned low round landed in a steal
+    //    window (≥ 10‰ — round 4's three low rounds measured 10/18/40‰
+    //    and dragged the official efficiency 0.08-0.10 under the
+    //    builder's clean-window number). Up to two more pairs chase one
+    //    clean low round while the budget holds.
+    //  - fast-window min-of-3: the proven round-4 rule, one extra pair
+    //    when time clearly allows.
+    def lowDirty: Boolean = lowRounds.forall(_._3 >= 10)
+    def lastPairCost: Double = highRounds.last._1 + lowRounds.last._1
+    var extra = 0
+    while (extra < 2 && lowDirty && remaining() > lastPairCost * 1.5 + 240) {
+      onePair(); extra += 1
+    }
+    if (extra == 0 && remaining() > lastPairCost * 1.5 + 240) onePair()
     val tHigh = highRounds.map(_._1).min
     val kg = kgJson()
     jsonRef.set(assemble(kg, Nil, tHigh))
 
-    // ---- 2. query catalog timings at local[cpus], budget-guarded
+    // ---- 2. query catalog timings at local[cpus], budget-guarded, each
+    // entry stamped with its own host window (steal delta + a 1/10-size
+    // calMBs probe ≈ 10-30 ms) so a slow number is attributable to the
+    // host instead of read as a plan regression; an entry whose window
+    // was dirty (steal ≥ 8‰) gets ONE retry when the budget allows, and
+    // the min of the two runs is kept with the CLEANER run's stamp.
     val spark = session(cpus, cpus)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    // reserve 30s of slack for session teardown + print
+    def timedEntry(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                   recordFailure: Boolean): Option[(Double, HostStamp)] = {
+      val cal = calibrate(2000)
+      val (s0, t0ticks) = stealTicks()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (s1, t1ticks) = stealTicks()
+        val steal = (s1 - s0) * 1000 / math.max(1, t1ticks - t0ticks)
+        Some((sec, HostStamp(steal, cal, 1)))
+      } catch {
+        case t: Throwable =>
+          // a throwing query goes in "failed", never gets a timing —
+          // a normal-looking number would disguise a broken invariant
+          // (a failed RETRY of an already-timed entry is only logged)
+          if (recordFailure) failedNames += name
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          None
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (remaining() > 45) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          results += name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case t: Throwable =>
-            // a throwing query goes in "failed", never gets a timing —
-            // a normal-looking number would disguise a broken invariant
-            failedNames += name
-            System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        timedEntry(name, fn, recordFailure = true).foreach { case (sec1, st1) =>
+          val dirty = st1.stealPermille >= 8 && sec1 >= 0.8
+          val finalResult =
+            if (dirty && remaining() > sec1 * 1.5 + 60) {
+              timedEntry(name, fn, recordFailure = false) match {
+                case Some((sec2, st2)) =>
+                  val (s, st) = if (sec2 < sec1) (sec2, st2) else (sec1, st1)
+                  (s, st.copy(runs = 2))
+                case None => (sec1, st1.copy(runs = 2))
+              }
+            } else (sec1, st1)
+          results += name -> finalResult._1
+          stamps(name) = finalResult._2
         }
         jsonRef.set(assemble(kg, results.toSeq, results.map(_._2).sum + tHigh))
       }

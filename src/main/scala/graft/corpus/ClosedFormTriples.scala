@@ -53,4 +53,29 @@ object ClosedFormTriples {
     val nRepos = math.max(8, math.sqrt(n.toDouble).toInt)
     (0L until n).flatMap(i => expectedTriples(CorpusGen.genFile(seed, i, nRepos))).toSet
   }
+
+  /** Fixture-defined coreference outcome for the ONE planted alias family
+    * (CorpusGen plants "KnowledgeGraph"/"knowledge_graph"/"KG" as spellings
+    * of a single entity — the entity-linking exercise, mirroring the
+    * reference's coref fixtures which pin expected canonical names,
+    * src/knowledge/test_coreference_resolver.py). The corpus CONSTRUCTION
+    * says these three surfaces denote one entity whose canonical spelling
+    * is "KnowledgeGraph"; no other planted name family is fuzzy-linkable
+    * (ClassN/BaseN/fnN/libN.ModuleN collide only with themselves under
+    * squash/acronym keys).
+    */
+  val AliasCanonical: Map[String, String] = Map(
+    "knowledge_graph" -> "KnowledgeGraph",
+    "KG" -> "KnowledgeGraph")
+
+  /** [[expectedSet]] with the planted alias family canonicalized — the
+    * EXACT expected engine output (post-coref triple-set projection), used
+    * by the committed DuckDB oracle fixture (tools/fixtures) for the
+    * kg_tripleset hash compare. Dedup after mapping: two surface triples
+    * that differ only in alias spelling collapse to one canonical triple.
+    */
+  def canonicalizedExpectedSet(n: Long, seed: Long = 42L): Set[(String, String, String)] =
+    expectedSet(n, seed).map { case (s, p, o) =>
+      (AliasCanonical.getOrElse(s, s), p, AliasCanonical.getOrElse(o, o))
+    }
 }

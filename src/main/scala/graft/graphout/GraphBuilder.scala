@@ -24,8 +24,6 @@ object GraphBuilder {
     val spark = entities.sparkSession
     import spark.implicits._
 
-    val nodeIds = entities.select($"id").distinct()
-
     // keep-max dedup per (srcId, relType, dstId) FIRST: max_by(struct)
     // aggregate — a single hash aggregate whose map-side partial combine
     // collapses the cross-file duplicate mass (3-5x on template-heavy
@@ -43,22 +41,33 @@ object GraphBuilder {
         struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("row"))
       .select(col("row.*"))
 
-    // endpoint existence: two semi-joins (the inverse of verifier V2).
+    // endpoint existence: two joins against the node (id, name) projection
+    // (the inverse of verifier V2). These double as CANONICAL NAME
+    // ATTACHMENT (round-4 verdict item 2): the inner join that proves the
+    // endpoint exists carries the canonical node name into
+    // srcName/dstName, so the triple-set projection downstream is a pure
+    // scan + distinct — the dstId re-shuffle that was the pipeline's last
+    // read-path exchange is gone, absorbed into joins that already
+    // existed here. (Extraction-time surface names are a pre-redirect
+    // concept; post-build edges carry the canonical spelling, which is
+    // what the reference's resolved graph stores too.)
     // SHUFFLE_HASH, not broadcast: the node table is the one dimension
     // that grows with the corpus (at 100 TB it can never broadcast), and
-    // a broadcast build here is a serial driver-side hash of every node —
-    // measured as the pipeline's worst-scaling stage at local[2]→[8]
-    // (3.1x). The shuffle-hash build parallelizes per partition. Ordered
-    // dstId THEN srcId so the validated table leaves its last exchange
-    // hash-partitioned on srcId — the key every downstream name-attach /
+    // a broadcast build here is a serial driver-side hash of every node.
+    // Ordered dstId THEN srcId so the validated table leaves its last
+    // exchange hash-partitioned on srcId — the key every downstream
     // traversal join consumes (zero-exchange when nodes are cached hashed
-    // by id; see KgPipeline). When `entities` is itself cached partitioned
-    // on id, the nodeIds build sides need no exchange at all.
+    // by id; see KgPipeline). Names deduped by id defensively (duplicate
+    // node ids are an upstream invariant violation; min keeps this
+    // deterministic instead of row-order-dependent).
+    val names = entities.toDF().groupBy($"id").agg(min($"name").as("name"))
     val valid = deduped
-      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "dstId"),
-        Seq("dstId"), "left_semi")
-      .join(nodeIds.hint("shuffle_hash").withColumnRenamed("id", "srcId"),
-        Seq("srcId"), "left_semi")
+      .drop("dstName")
+      .join(names.hint("shuffle_hash")
+        .select($"id".as("dstId"), $"name".as("dstName")), Seq("dstId"))
+      .drop("srcName")
+      .join(names.hint("shuffle_hash")
+        .select($"id".as("srcId"), $"name".as("srcName")), Seq("srcId"))
 
     // bidirectional expansion (graph.py:116-129)
     val reversed = valid.where(col("bidirectional"))

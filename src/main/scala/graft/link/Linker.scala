@@ -123,11 +123,15 @@ object Linker {
         folded.copy(id = comp)
       }
 
-    // non-identity rewrites only (tiny); checkpointed because the redirect
-    // stage broadcasts it twice (src and dst sides)
-    val rewrite = withComp.select($"id", $"comp".as("canonicalId"))
-      .where($"id" =!= $"canonicalId")
-      .localCheckpoint(true)
+    // non-identity rewrites only (tiny). Derived from `comps` DIRECTLY —
+    // not from the entities join: comps already holds exactly the linked
+    // ids with their component minima, so id ≠ comp there IS the rewrite
+    // map. The old withComp-based form forced a localCheckpoint job over
+    // a full entities scan (round-4 verdict item 3: link_cc was fixed
+    // driver latency); when CC took its driver fast path, comps is a
+    // LocalRelation and this plan stays driver-local — zero jobs.
+    val rewrite = comps.where(col("id") =!= col("comp"))
+      .select(col("id"), col("comp").as("canonicalId"))
     LinkResult(merged, rewrite)
   }
 
@@ -151,12 +155,22 @@ object Linker {
     val spark = triples.sparkSession
     import spark.implicits._
     // only non-identity rewrites matter — keep the join side minimal.
-    // Materialize before the path-choosing count: the rewrite map is
-    // typically an uncached CC-derived plan, and without the checkpoint
-    // its whole lineage would run once for the count and again for the
-    // join below (round-2 advice).
-    val rw = rewrite.where(col("id") =!= col("canonicalId")).localCheckpoint(true)
-    val big = rw.count() > broadcastLimit
+    // When the rewrite map optimizes to a LocalRelation (the CC driver
+    // fast path — the common case for alias-scale pair graphs), its row
+    // count is read off the plan with ZERO jobs and no checkpoint is
+    // needed; a distributed map is still materialized before the
+    // path-choosing count so its CC lineage runs once, not twice
+    // (round-2 advice; round-4 verdict item 3 removed the two driver
+    // actions this cost on every small-corpus run).
+    val filtered = rewrite.where(col("id") =!= col("canonicalId"))
+    val localRows: Option[Long] =
+      filtered.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(lr.data.length.toLong)
+        case _ => None
+      }
+    val rw = if (localRows.isDefined) filtered else filtered.localCheckpoint(true)
+    val big = localRows.getOrElse(rw.count()) > broadcastLimit
     val redirected =
       if (!big) {
         val srcMap = broadcast(rw.select(col("id").as("_sid"), col("canonicalId").as("_scan")))

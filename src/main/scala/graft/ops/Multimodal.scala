@@ -88,7 +88,16 @@ object Multimodal {
       * failure into the row's `decodeError` field.
       */
     def decodeMeanLuma(payload: Array[Byte]): (Double, Int, Int) = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // per-call in-memory image input stream (round-4 advice): routes the
+      // decode through a MemoryCacheImageInputStream explicitly instead of
+      // toggling the JVM-GLOBAL ImageIO.setUseCache flag from executor
+      // tasks, which would silently change disk-cache behavior for every
+      // other ImageIO user sharing the executor JVM
+      // no explicit close: ImageIO.read(ImageInputStream) closes the
+      // stream itself on completion (javadoc), and a second close throws
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img = javax.imageio.ImageIO.read(iis)
       require(img != null, "undecodable image payload")
       val (w, h) = (img.getWidth, img.getHeight)
       val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -150,11 +159,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], resizeTarget: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder context init: disable ImageIO's default
-      // disk-backed read cache (a temp-file per decode call — pure I/O
-      // overhead for in-memory payloads); an ffmpeg context would be
-      // created once here too
-      javax.imageio.ImageIO.setUseCache(false)
+      // per-partition decoder context init (an ffmpeg context would be
+      // created once here); image decode itself wraps each payload in a
+      // MemoryCacheImageInputStream, so no disk-backed ImageIO temp file
+      // is created and no JVM-global flag is touched
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
         md.reset()

@@ -24,7 +24,8 @@ import graft.segment.CodeSegmenter
  * Stage DAG (inputs recorded in each manifest):
  *   corpus → segments → extracted(entities+triples, ONE regex pass)
  *          → mentions/triples (cheap explodes of the committed extraction)
- *          → canonical_mentions → links → nodes/edges → triple_set
+ *          → canonical_mentions → links → nodes/edges (+ dstId-bucketed
+ *            edge copy: dual sort order) → triple_set
  */
 object CheckpointedPipeline {
 
@@ -100,16 +101,26 @@ object CheckpointedPipeline {
       GraphBuilder.build(nodes.as[Entity], redirected).edges.toDF()
     }
 
-    cp.runStage("08_triple_set", Seq("05_nodes", "07_edges")) {
-      // bucketed scans: the srcId join is exchange-free and sort-free
-      // (both sides bucketed+sorted on the key); the dstId join re-shuffles
-      // only the joined rows while the node side again reads its buckets
+    // DUAL-SORT-ORDER edge copy (round-4 verdict item 2): the same edge
+    // rows committed a second time, bucketed on dstId, so every
+    // incoming-direction consumer (reverse traversal, dangling-dst checks,
+    // objName attaches) reads pre-partitioned on ITS join key just like
+    // outgoing consumers read 07_edges on srcId. Storage is cheap at
+    // 100 TB; the repeated dstId exchange every consumer would otherwise
+    // pay is not — the shuffle is paid once, at this write.
+    cp.runStageBucketed("07_edges_bydst", Seq("07_edges"), bucketCol = "dstId") {
       edges
-        .join(nodes.select(col("id").as("srcId"), col("name").as("subjName")),
-          Seq("srcId"))
-        .join(nodes.select(col("id").as("dstId"), col("name").as("objName")),
-          Seq("dstId"))
-        .select(col("subjName"), col("relType"), col("objName"))
+    }
+
+    cp.runStage("08_triple_set", Seq("07_edges")) {
+      // ZERO-join triple set: build attached canonical srcName/dstName
+      // inside its endpoint joins, so this stage is a bucketed scan + one
+      // distinct aggregate (PlanSpec pins: no join, single exchange).
+      // Round 4 carried a dstId re-shuffle of the joined rows here — the
+      // pipeline's last read-path exchange; it no longer exists.
+      edges
+        .select(col("srcName").as("subjName"), col("relType"),
+          col("dstName").as("objName"))
         .distinct()
     }
   }

@@ -29,9 +29,9 @@ import graft.segment.CodeSegmenter
  *   graph build:     keep-max dedup agg (map-side combined, FIRST) +
  *                    2 edge-side semi-join exchanges; node build sides
  *                    read the id-partitioned cache (no exchange)
- *   tripleSet:       srcId join exchange-FREE both sides (edges cached on
- *                    srcId, nodes on id); dstId join re-shuffles the
- *                    joined rows only; distinct
+ *   tripleSet:       ZERO joins — canonical names ride the edge rows from
+ *                    build's endpoint joins; one distinct aggregate
+ *                    (map-side partial) is the stage's only exchange
  */
 object KgPipeline {
 
@@ -126,16 +126,16 @@ object KgPipeline {
     }
     val graph = GraphBuilder.Graph(nodes, edges)
 
-    // name attachment via SHUFFLE_HASH: the node dim grows with the
-    // corpus (never broadcast-able at 100 TB) and a broadcast build is
-    // serial on the driver — the hint keeps the hash build parallel; both
-    // sides of the srcId join read caches already partitioned on the key
+    // triple-set projection: ZERO joins (round-4 verdict item 2). Edges
+    // carry canonical srcName/dstName since GraphBuilder.build attaches
+    // them inside the endpoint-existence joins, so the stage is one
+    // cached-scan + distinct — the partial aggregate collapses duplicate
+    // name-triples map-side and the single exchange ships the distinct
+    // set only. The dstId re-shuffle of the joined rows (the pipeline's
+    // last read-path exchange, 0.43-0.57 stage efficiency in round 4) no
+    // longer exists.
     val tripleSet = graph.edges.toDF()
-      .join(graph.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName"))
-        .hint("shuffle_hash"), Seq("srcId"))
-      .join(graph.nodes.toDF().select($"id".as("dstId"), $"name".as("objName"))
-        .hint("shuffle_hash"), Seq("dstId"))
-      .select($"subjName", $"relType", $"objName")
+      .select($"srcName".as("subjName"), $"relType", $"dstName".as("objName"))
       .distinct()
     val nTriples = lap("triple_set")(if (force) tripleSet.count() else 0L)
 

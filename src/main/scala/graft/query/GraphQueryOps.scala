@@ -134,32 +134,112 @@ object GraphQueryOps {
     else acc
   }
 
+  /** Cap on live partial paths in [[findPath]]'s driver fast path: a
+    * dense small graph can hold exponentially many simple paths, and the
+    * driver enumeration must bail to the distributed loop before its
+    * working set outgrows the heap.
+    */
+  private val DriverPathBound = 2000000
+
   /** Q4 find_path — BFS paths src→dst, outgoing edges only, per-path cycle
     * avoidance, cap `maxPaths` results (reference caps 10 at
     * graph_query.py:210, depth default 5). Returns rows (path: array<id>,
-    * depth).
+    * depth), the `maxPaths` smallest by (depth, lexicographic path).
+    *
+    * Small graphs (≤ driverLimit edges — the same fast-path rule the
+    * iterative centralities use) enumerate in a driver loop: the
+    * distributed form is D+1 driver-blocking jobs of fixed latency for a
+    * few kilobytes of frontier (round-4 verdict item 4 — q20 was the
+    * slowest catalog entry on job latency alone). The distributed loop
+    * remains the scale path and runs ONE job per depth: the per-depth hit
+    * count rides the frontier materialization via `observe` instead of a
+    * separate count action, and frontier-emptiness is derived from the
+    * same observed metrics. FindPathSpec pins driver ≡ distributed.
     */
   def findPath(g: Graph, srcId: String, dstId: String, maxDepth: Int = 5,
-               maxPaths: Int = 10): DataFrame = {
+               maxPaths: Int = 10,
+               driverLimit: Long = DriverIterationLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val adj = g.edges.toDF().select($"srcId".as("last"), $"dstId".as("next"))
+    val adjDf = g.edges.toDF().select($"srcId".as("last"), $"dstId".as("next"))
       .distinct()
 
+    // ---- driver fast path: one collect job, then pure in-memory BFS
+    locally {
+      val lim = math.min(driverLimit, (Int.MaxValue - 2).toLong).toInt
+      val es = adjDf.limit(lim + 1).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      if (es.length <= lim) {
+        // sorted neighbor lists: enumeration order is deterministic (the
+        // final (depth, path) sort makes the RESULT order-proof; sorting
+        // keeps intermediate traversal reproducible for debugging)
+        val adj = es.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).sorted }
+        var live = Vector(Vector(srcId))
+        val found = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+        var depth = 0
+        var blown = false
+        while (depth < maxDepth && live.nonEmpty && found.size < maxPaths && !blown) {
+          val stepped = live.flatMap { p =>
+            adj.getOrElse(p.last, Array.empty[String])
+              .iterator.filterNot(p.contains).map(p :+ _)
+          }
+          // same early-exit boundary as the distributed loop: hits are
+          // banked AFTER a full depth completes, then the loop stops
+          found ++= stepped.filter(_.last == dstId)
+          live = stepped.filterNot(_.last == dstId)
+          if (live.size > DriverPathBound) blown = true
+          depth += 1
+        }
+        if (!blown) {
+          // Spark array<string> ordering: element-wise, then by length
+          implicit val pathOrd: Ordering[Vector[String]] =
+            new Ordering[Vector[String]] {
+              def compare(a: Vector[String], b: Vector[String]): Int = {
+                val it = a.iterator.zip(b.iterator)
+                while (it.hasNext) {
+                  val (x, y) = it.next()
+                  val c = x.compareTo(y)
+                  if (c != 0) return c
+                }
+                a.length.compareTo(b.length)
+              }
+            }
+          val rows = found.toVector
+            .map(p => (p, p.length - 1))
+            .sortBy { case (p, d) => (d, p) }
+            .take(maxPaths)
+          return rows.toDF("path", "depth")
+        }
+      }
+    }
+
+    // ---- distributed loop: one job per depth (persist + observed counts)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.storage.StorageLevel
     var paths = Seq((Array(srcId), srcId)).toDF("path", "last")
     var found = Seq.empty[Seq[String]].toDF("path")
     var depth = 0
-    while (depth < maxDepth && !paths.isEmpty) {
-      val stepped = paths.join(adj, Seq("last"))
+    var totalHits = 0L
+    var frontierNonEmpty = true
+    while (depth < maxDepth && frontierNonEmpty) {
+      val stepped = paths.join(adjDf, Seq("last"))
         .where(!array_contains($"path", $"next"))
         .select(concat($"path", array($"next")).as("path"), $"next".as("last"))
-        .localCheckpoint(true)
-      val hits = stepped.where($"last" === dstId).select($"path")
-      found = found.union(hits)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val obs = Observation()
+      stepped.observe(obs,
+        coalesce(sum(when($"last" === dstId, 1L).otherwise(0L)), lit(0L)).as("hits"),
+        count(lit(1)).as("n")).count()
+      val m = obs.get
+      val hits = m("hits").asInstanceOf[Long]
+      val n = m("n").asInstanceOf[Long]
+      found = found.union(stepped.where($"last" === dstId).select($"path"))
       paths = stepped.where($"last" =!= dstId)
+      totalHits += hits
+      frontierNonEmpty = n - hits > 0
       depth += 1
-      // early exit when enough paths found (driver-side limit check)
-      if (found.limit(maxPaths).count() >= maxPaths) depth = maxDepth
+      // early exit when enough paths found (observed, not a second action)
+      if (totalHits >= maxPaths) depth = maxDepth
     }
     found.withColumn("depth", size($"path") - 1)
       .orderBy(asc("depth"), asc("path")).limit(maxPaths)

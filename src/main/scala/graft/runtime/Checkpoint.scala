@@ -171,7 +171,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
       .format("parquet").saveAsTable(table)
     writeAtomic(tableSpecPath(stage),
       s"""{"table":"$table","bucketCol":"$bucketCol","nBuckets":$nBuckets,""" +
-        s""""schemaDdl":"${df.schema.toDDL.replace("\"", "\\\"")}"}""")
+        s""""schemaDdl":"${Checkpoint.jsonEscape(df.schema.toDDL)}"}""")
     val out = spark.table(table)
     val rows = out.count()
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -190,7 +190,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
     val spec = Files.readString(tableSpecPath(stage))
     def field(k: String): String =
       ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(spec)
-        .map(_.group(1).replace("\\\"", "\"")).getOrElse(
+        .map(m => Checkpoint.jsonUnescape(m.group(1))).getOrElse(
           throw new IllegalStateException(s"malformed _TABLE.json for $stage: $spec"))
     val table = field("table")
     val bucketCol = field("bucketCol")
@@ -250,5 +250,25 @@ object Checkpoint {
     val tmp = Paths.get(path.toString + ".tmp")
     Files.writeString(tmp, content, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Minimal JSON string escape/unescape for the _TABLE.json spec —
+    * backslashes AND quotes (round-4 advice: quote-only escaping breaks
+    * the round-trip for a schema DDL carrying a backslash or an escaped
+    * column name, and the fresh-JVM CREATE TABLE on resume would then
+    * parse a corrupted DDL).
+    */
+  def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

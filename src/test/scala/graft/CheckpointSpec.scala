@@ -17,7 +17,11 @@ class CheckpointSpec extends SparkSpec {
     // every stage committed with a manifest carrying rows + lineage
     val cp = new graft.runtime.Checkpoint(spark, root)
     val manifests = cp.manifests()
-    assert(manifests.size == 11, s"expected 11 stage manifests, got ${manifests.size}")
+    assert(manifests.size == 12, s"expected 12 stage manifests, got ${manifests.size}")
+    // dual-sort-order edge copy committed bucketed on dstId (round-4
+    // verdict item 2)
+    assert(manifests.exists(m => m.contains("\"07_edges_bydst\"") &&
+      m.contains("\"bucketedBy\":\"dstId\"")))
     // error side-output stage committed with zero failures on this corpus
     assert(manifests.exists(m => m.contains("\"02_errors\"") && m.contains("\"rows\":0")))
     assert(manifests.forall(_.contains("\"rows\":")))

@@ -446,7 +446,7 @@ class StorageSpec extends SparkSpec {
     storage.delete("gp")
   }
 
-  test("unversioned saves write fresh work dirs, flip the pointer, and GC the superseded one") {
+  test("unversioned saves write fresh work dirs, flip the pointer, and GC with one generation of grace") {
     val g = Fixtures.queryGraph(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graphs_work").toString
     val storage = new graft.graphout.GraphStorage(spark, tmp)
@@ -455,11 +455,24 @@ class StorageSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(w1))
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$tmp/gw/_CURRENT.json")).contains(s"work/v$v1"))
+    // a lazily-held reader of the v1 pointer target, taken BEFORE the next
+    // save — the documented one-generation grace keeps it readable
+    val lazyReader = storage.load("gw")
     val v2 = storage.save("gw", g, createVersion = false)
-    // pointer flipped to the fresh dir; the superseded scratch dir is GC'd
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$tmp/gw/_CURRENT.json")).contains(s"work/v$v2"))
-    assert(!java.nio.file.Files.exists(w1), "superseded work dir must be GC'd")
+    // superseded dir survives ONE save (grace for in-flight lazy readers)
+    assert(java.nio.file.Files.exists(w1),
+      "one generation of grace: previous work dir must survive the next save")
+    assert(lazyReader.nodes.count() == g.nodes.count())
+    // ...and is GC'd by the save after that
+    val v3 = storage.save("gw", g, createVersion = false)
+    assert(!java.nio.file.Files.exists(w1),
+      "work dir two generations back must be GC'd")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/gw/work/v$v2")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/gw/work/v$v3")))
     assert(storage.load("gw").nodes.count() == g.nodes.count())
     // unversioned saves never appear in the version list
     assert(storage.listVersions("gw").isEmpty)
