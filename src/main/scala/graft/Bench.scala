@@ -292,17 +292,26 @@ object Bench {
     }
     (1 to rounds).foreach(_ => onePair())
     // extra interleaved pairs, two triggers (round-4 verdict item 1b):
-    //  - RETRY-FOR-CLEAN-LOW: every planned low round landed in a steal
-    //    window (≥ 10‰ — round 4's three low rounds measured 10/18/40‰
-    //    and dragged the official efficiency 0.08-0.10 under the
-    //    builder's clean-window number). Up to two more pairs chase one
-    //    clean low round while the budget holds.
+    //  - RETRY-FOR-CLEAN-ROUND, symmetric over BOTH levels: round 4's
+    //    three low rounds landed in steal windows (10/18/40‰) and dragged
+    //    the official efficiency 0.08-0.10 under the clean-window number;
+    //    the first round-5 run mirrored it on the HIGH side (12‰/71‰/
+    //    calMBs-479 highs vs a 0‰ low). A round is dirty when its window
+    //    saw steal ≥ 10‰ OR its calMBs probe dropped ≥ 25% below the
+    //    best probe of this run — the second clause catches the
+    //    memory-bus/neighbor episodes that are invisible to steal
+    //    (BASELINE.md: identical runs 26 s vs 233 s at ≤ 6‰). Up to two
+    //    more pairs chase one clean round on whichever level has none.
     //  - fast-window min-of-3: the proven round-4 rule, one extra pair
     //    when time clearly allows.
-    def lowDirty: Boolean = lowRounds.forall(_._3 >= 10)
+    def levelDirty(rs: scala.collection.Seq[(Double, Double, Long)]): Boolean = {
+      val calRef = (highRounds ++ lowRounds).map(_._2).max
+      rs.forall { case (_, cal, steal) => steal >= 10 || cal < 0.75 * calRef }
+    }
+    def anyLevelDirty: Boolean = levelDirty(highRounds) || levelDirty(lowRounds)
     def lastPairCost: Double = highRounds.last._1 + lowRounds.last._1
     var extra = 0
-    while (extra < 2 && lowDirty && remaining() > lastPairCost * 1.5 + 240) {
+    while (extra < 2 && anyLevelDirty && remaining() > lastPairCost * 1.5 + 240) {
       onePair(); extra += 1
     }
     if (extra == 0 && remaining() > lastPairCost * 1.5 + 240) onePair()

@@ -131,7 +131,7 @@ object ConnectedComponents {
     * union-by-rank; component label = min member id to match the
     * distributed algorithm exactly).
     */
-  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+  private[link] def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
                              pairs: Array[(String, String)]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[String, String]

@@ -88,19 +88,83 @@ object Linker {
         graft.functions.SimilarityAccept($"name1", $"name2"))
   }
 
+  /** Canonical-mention tables at or below this row count link on the
+    * driver: one narrow head() probe (3 string columns, cache-hot in the
+    * pipeline where extract_dedup materialized the mention cache), then
+    * blocking + scoring + union-find in memory — the distributed form is
+    * ~1-1.4 s of pure plan/exchange/job latency for a 25k-row table with
+    * 3 accepted pairs (profiled at 320k files, round 5: link_cc stage
+    * efficiency 0.24-0.31 because that latency is identical at every
+    * parallelism level). The distributed blocking join below remains the
+    * 100 TB path and LinkerDriverSpec pins the two identical.
+    */
+  val DriverLinkThreshold: Long =
+    sys.env.get("GRAFT_LINK_DRIVER_THRESHOLD").map(_.toLong).getOrElse(300000L)
+
+  /** Driver-side mirror of [[candidatePairs]] + connected components:
+    * SAME blocking keys, SAME deterministic per-block cap (ordered by id,
+    * counted via the Observed registry — the no-silent-caps rule doesn't
+    * care which side of the fast path drops rows), SAME score/accept
+    * functions ([[Similarity.score]]/[[Similarity.accept]] — the native
+    * SimilarityScore/SimilarityAccept expressions are parity-tested
+    * against exactly these), then path-compressed union-find with min-id
+    * component labels to match the distributed large/small-star output.
+    */
+  private[link] def driverComps(spark: org.apache.spark.sql.SparkSession,
+                                rows: Array[(String, String, String)],
+                                threshold: Double): DataFrame = {
+    val blocks = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.TreeMap[String, String]]
+    rows.foreach { case (id, name, etype) =>
+      (Seq(squash(name)) ++ acronymKey(name)).distinct.foreach { k =>
+        blocks.getOrElseUpdate((k, etype),
+          scala.collection.mutable.TreeMap.empty[String, String])
+          .update(id, name)
+      }
+    }
+    var capDropped = 0L
+    val accepted = scala.collection.mutable.HashSet.empty[(String, String)]
+    blocks.valuesIterator.foreach { members =>
+      // TreeMap iterates id-ascending = the window's ORDER BY id cap rule
+      val kept = members.iterator.take(MaxBlockSize).toArray
+      capDropped += members.size - kept.length
+      var i = 0
+      while (i < kept.length - 1) {
+        var j = i + 1
+        while (j < kept.length) {
+          val (id1, n1) = kept(i); val (id2, n2) = kept(j)
+          if (!accepted.contains((id1, id2)) &&
+              Similarity.score(n1, n2) >= threshold && Similarity.accept(n1, n2))
+            accepted += ((id1, id2))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    graft.runtime.Observed.record("linker_block_cap", Map("dropped" -> capDropped))
+    ConnectedComponents.unionFindLocal(spark, accepted.toArray)
+  }
+
   final case class LinkResult(
       canonical: Dataset[Entity],
       /** id → canonicalId for every input entity (identity rows included). */
       rewrite: DataFrame
   )
 
-  def link(entities: Dataset[Entity], threshold: Double = DefaultThreshold): LinkResult = {
+  def link(entities: Dataset[Entity], threshold: Double = DefaultThreshold,
+           driverThreshold: Long = DriverLinkThreshold): LinkResult = {
     val spark = entities.sparkSession
     import spark.implicits._
 
-    val pairs = candidatePairs(entities, threshold)
-      .select($"id1".as("src"), $"id2".as("dst"))
-    val comps = ConnectedComponents.run(pairs) // (id, comp) — only linked ids
+    val comps: DataFrame = {
+      val lim = math.min(driverThreshold, (Int.MaxValue - 2).toLong).toInt
+      val probe = entities.select($"id", $"name", $"entityType")
+        .as[(String, String, String)].head(lim + 1)
+      if (probe.length <= lim) driverComps(spark, probe, threshold)
+      else ConnectedComponents.run(
+        candidatePairs(entities, threshold)
+          .select($"id1".as("src"), $"id2".as("dst")))
+    } // (id, comp) — only linked ids
 
     val withComp = entities
       .join(comps.withColumnRenamed("id", "eid"), entities("id") === col("eid"), "left")
