@@ -228,9 +228,15 @@ object Bench {
       s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},"scaling":null}"""
     locally {
       val warm = session(high, parts)
-      val t0 = System.nanoTime()
-      kgRun(warm, (kgFiles / 2).max(1))
-      val warmSec = (System.nanoTime() - t0) / 1e9
+      def probedWarmup(): (Double, Long) = {
+        val (st0, tk0) = stealTicks()
+        val t0 = System.nanoTime()
+        kgRun(warm, (kgFiles / 2).max(1))
+        val (st1, tk1) = stealTicks()
+        ((System.nanoTime() - t0) / 1e9,
+          (st1 - st0) * 1000 / math.max(1, tk1 - tk0))
+      }
+      val (w1, w1Steal) = probedWarmup()
       // the warmup doubles as a HOST PROBE: estimate one full-size H+L
       // pair from it (full high ≈ 2× half-size; low ≈ 2.9× high — the
       // measured clean-window ratios, +15% margin) and halve the corpus
@@ -239,6 +245,17 @@ object Bench {
       // identical runs up to 10x) then still produces a COMPLETE
       // two-level measurement at a smaller size instead of a watchdog
       // partial with "scaling": null — the required signal survives.
+      // A warmup that itself landed in a steal episode would SHRINK the
+      // schedule on phantom evidence (one 80‰-warmup run halved 320k →
+      // 160k, capping the efficiency number at the 160k fixed-overhead
+      // ceiling ≈ 0.65 despite a clean window right after) — so a dirty
+      // first probe buys ONE re-probe (which also deepens JIT warmth)
+      // and the schedule adapts on the min, when the conservative
+      // pre-adapt estimate from the dirty number still fits the budget.
+      val warmSec =
+        if (w1Steal >= 10 && adaptSchedule(kgFiles, w1, remaining() - w1, rounds)._1 < kgFiles)
+          math.min(w1, probedWarmup()._1)
+        else w1
       val (sized, sizedRounds, secondWarmup) =
         adaptSchedule(kgFiles, warmSec, remaining(), rounds)
       kgFiles = sized
