@@ -512,7 +512,8 @@ object Queries {
   }
 
   /** Multimodal feature-extraction plumbing over a deterministic synthetic
-    * media corpus (image decode REAL via ImageIO; audio/video stubbed).
+    * media corpus (image decode REAL via ImageIO, audio REAL via
+    * javax.sound; video stubbed).
     * Rows-only, with an IN-RUN invariant: the synthetic corpus must decode
     * with zero per-row errors and in-range luma.
     */

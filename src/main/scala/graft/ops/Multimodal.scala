@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
  *
  * The IMAGE path is real: payloads are actual PNG bytes and
  * [[ImageDecoder]] decodes them with `javax.imageio` (JDK built-in — no
- * external dependency). Audio/video codec work (resampling, frame
- * decode) needs native libraries NOT present in this container — those
- * steps are STUBBED behind `DecoderStub` with a deterministic fake so the
- * Spark-side plumbing (schema, batch shape, partitioning, per-partition
- * decoder amortization) is real and tested. In production the stub body
- * is replaced by the real codec call; nothing around it changes.
+ * external dependency). The AUDIO path is real too: payloads are actual
+ * WAV (PCM) bytes and [[AudioDecoder]] decodes them with
+ * `javax.sound.sampled` (also JDK built-in), normalizing any PCM layout
+ * (8/16-bit, stereo, either endianness) to 16-bit mono before the RMS
+ * computation. VIDEO frame decode needs codec libraries NOT present in
+ * this container — that step is STUBBED behind `DecoderStub` with a
+ * deterministic fake so the Spark-side plumbing (schema, batch shape,
+ * partitioning, per-partition decoder amortization) is real and tested.
+ * In production the stub body is replaced by the real codec call;
+ * nothing around it changes.
  *
  * Batching shape mirrors mapInPandas/Arrow semantics: work happens in
  * `mapPartitions` so the (expensive) decoder context is created once per
@@ -39,7 +43,8 @@ object Multimodal {
       mediaType: String,
       nBytes: Long,
       payloadSha: String,
-      // image: REAL ImageIO-decoded mean luma; audio/video: decode stub
+      // image: REAL ImageIO-decoded mean luma; audio: REAL decoded RMS
+      // level; video: decode stub
       meanLuma: Double,
       resizedW: Int,
       resizedH: Int,
@@ -113,10 +118,92 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec over `javax.sound.sampled` (ships in the JDK).
+    * Encode is only used by the synthetic corpus; decode is the
+    * production kernel.
+    */
+  object AudioDecoder {
+
+    /** Deterministic 16-bit mono PCM WAV: sample n of clip `id` is a pure
+      * integer function of (id, n) — a full-swing sawtooth-ish pattern, so
+      * the decoded RMS is reproducible for any (id, rate, duration) and
+      * no float transcendentals (platform-dependent bits) are involved.
+      */
+    def syntheticWav(id: Long, sampleRateHz: Int, durationMs: Long): Array[Byte] = {
+      val n = (durationMs * sampleRateHz / 1000L).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 31 + i * 7) % 65536L) - 32768L).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRateHz.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload and return (rms ∈ [0,1], sampleRateHz,
+      * durationMs). Any PCM layout is normalized first: the JDK converter
+      * handles bit depth / sign / endianness to 16-bit signed
+      * little-endian; channel mixing (stereo→mono) is NOT in the JDK
+      * converter, so channels are averaged manually per frame. Throws on
+      * an undecodable payload; [[extractFeatures]] isolates the failure
+      * into the row's `decodeError` field.
+      */
+    def decodeRms(payload: Array[Byte]): (Double, Int, Long) = {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val sf = src.getFormat
+        val channels = sf.getChannels
+        val target = new javax.sound.sampled.AudioFormat(
+          sf.getSampleRate, 16, channels, true, false)
+        val ais =
+          if (sf.matches(target)) src
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        val frameBytes = 2 * channels
+        val buf = new Array[Byte](frameBytes * 4096)
+        var sumSq = 0.0
+        var frames = 0L
+        // AudioInputStream.read returns an integral number of frames, so
+        // the per-buffer walk never splits a frame across reads
+        var read = ais.read(buf)
+        while (read > 0) {
+          var off = 0
+          while (off + frameBytes <= read) {
+            var c = 0
+            var acc = 0L
+            while (c < channels) {
+              val lo = buf(off + 2 * c) & 0xff
+              val hi = buf(off + 2 * c + 1)
+              acc += (hi << 8) | lo
+              c += 1
+            }
+            val mono = acc.toDouble / channels
+            sumSq += mono * mono
+            frames += 1
+            off += frameBytes
+          }
+          read = ais.read(buf)
+        }
+        require(frames > 0, "empty audio payload")
+        val rate = sf.getSampleRate.toInt
+        (math.sqrt(sumSq / frames) / 32768.0, rate, frames * 1000L / rate)
+      } finally src.close()
+    }
+  }
+
   /** Deterministic synthetic media corpus (seeded — payload is a pure
     * function of id) for testing the plumbing at any scale. Image rows
-    * carry REAL PNG bytes; audio/video rows carry opaque byte payloads
-    * (their codecs are the stubbed modalities).
+    * carry REAL PNG bytes, audio rows REAL WAV bytes; video rows carry
+    * opaque byte payloads (the one stubbed modality).
     */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
@@ -125,18 +212,24 @@ object Multimodal {
       val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
       val w = 16 + rnd.nextInt(48)
       val h = 16 + rnd.nextInt(48)
-      val payload =
-        if (mt == "image") ImageDecoder.syntheticPng(i, w, h)
-        else Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+      // 8 kHz keeps the synthetic WAV payloads at 3–20 KB so corpus-scale
+      // tests stay cheap; the decoder itself handles any rate
+      val rateHz = 8000
+      val durMs = 200L + rnd.nextInt(1800)
+      val payload = mt match {
+        case "image" => ImageDecoder.syntheticPng(i, w, h)
+        case "audio" => AudioDecoder.syntheticWav(i, rateHz, durMs)
+        case _       => Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+      }
       MediaRow(i, mt, payload, width = w, height = h,
-        sampleRateHz = 16000, durationMs = 1000L + rnd.nextInt(9000))
+        sampleRateHz = rateHz, durationMs = durMs)
     }
   }
 
-  /** The stubbed AUDIO/VIDEO decoder (image decode is real — see
-    * [[ImageDecoder]]). Replace the body with the real codec (e.g.
-    * javacpp-ffmpeg) in production; the deterministic fake keeps tests
-    * meaningful: outputs depend only on the payload bytes.
+  /** The stubbed VIDEO decoder (image and audio decode are real — see
+    * [[ImageDecoder]] / [[AudioDecoder]]). Replace the body with the real
+    * codec (e.g. javacpp-ffmpeg) in production; the deterministic fake
+    * keeps tests meaningful: outputs depend only on the payload bytes.
     */
   object DecoderStub {
     def fakeMeanLevel(payload: Array[Byte]): Double =
@@ -154,7 +247,8 @@ object Multimodal {
 
   /** Feature extraction stage: mapPartitions so decoder init happens once
     * per partition (the Pandas-UDF batch contract). Image rows are decoded
-    * for real with ImageIO; audio/video go through the stub.
+    * for real with ImageIO, audio rows with javax.sound; video goes
+    * through the stub.
     */
   def extractFeatures(media: Dataset[MediaRow], resizeTarget: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -170,8 +264,8 @@ object Multimodal {
         // per-row failure isolation (the extraction stage's error-side-
         // output pattern): a corrupt payload yields a row with
         // decodeError set, never a dead stage
-        val (luma, realW, realH, err) =
-          if (m.mediaType == "image")
+        val (luma, realW, realH, err) = m.mediaType match {
+          case "image" =>
             try {
               val (l, w, h) = ImageDecoder.decodeMeanLuma(m.payload)
               (l, w, h, None)
@@ -180,7 +274,17 @@ object Multimodal {
                 (0.0, m.width, m.height,
                   Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
             }
-          else (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height, None)
+          case "audio" =>
+            try {
+              val (rms, _, _) = AudioDecoder.decodeRms(m.payload)
+              (rms, m.width, m.height, None)
+            } catch {
+              case e: Exception =>
+                (0.0, m.width, m.height,
+                  Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            }
+          case _ => (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height, None)
+        }
         val (rw, rh) = DecoderStub.resize(realW, realH, resizeTarget)
         MediaFeatures(
           mediaId = m.mediaId, mediaType = m.mediaType,

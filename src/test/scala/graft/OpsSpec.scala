@@ -419,6 +419,84 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(math.abs(l2 - sum / 300 / 255.0) < 1e-12)
   }
+
+  test("audio decode is REAL javax.sound: constant-amplitude WAV pins exact RMS") {
+    // constant 16-bit sample v → RMS = |v| / 32768 exactly, through the
+    // lossless WAV round trip
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      pcm(2 * i) = (16384 & 0xff).toByte
+      pcm(2 * i + 1) = ((16384 >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (rms, rate, durMs) = Multimodal.AudioDecoder.decodeRms(bos.toByteArray)
+    assert(rate == 8000 && durMs == 100L, s"$rate Hz / $durMs ms")
+    assert(math.abs(rms - 0.5) < 1e-12, rms.toString)
+
+    // synthetic clip round-trips losslessly: decoded RMS equals the
+    // sample-formula computation, independent of the WAV encoder
+    val payload = Multimodal.AudioDecoder.syntheticWav(7L, 8000, 250L)
+    val (r2, _, d2) = Multimodal.AudioDecoder.decodeRms(payload)
+    assert(d2 == 250L)
+    val m = 250 * 8
+    var sumSq = 0.0
+    (0 until m).foreach { i =>
+      val v = (((7L * 31 + i * 7) % 65536L) - 32768L).toDouble
+      sumSq += v * v
+    }
+    assert(math.abs(r2 - math.sqrt(sumSq / m) / 32768.0) < 1e-12)
+  }
+
+  test("audio decode normalizes layout: stereo and 8-bit WAVs reduce correctly") {
+    // stereo, opposite-phase channels → mono average 0 → RMS 0
+    val n = 400
+    val stereo = new Array[Byte](n * 4)
+    (0 until n).foreach { i =>
+      stereo(4 * i) = (16384 & 0xff).toByte
+      stereo(4 * i + 1) = ((16384 >> 8) & 0xff).toByte
+      stereo(4 * i + 2) = (-16384 & 0xff).toByte
+      stereo(4 * i + 3) = ((-16384 >> 8) & 0xff).toByte
+    }
+    val sFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereo), sFmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sBos)
+    val (sRms, _, _) = Multimodal.AudioDecoder.decodeRms(sBos.toByteArray)
+    assert(math.abs(sRms) < 1e-12, sRms.toString)
+
+    // 8-bit unsigned constant 192 = signed +64 → RMS 0.5 through the JDK
+    // bit-depth converter, within one 8-bit quantization step (the
+    // converter's exact low-byte fill is an implementation detail)
+    val eight = Array.fill[Byte](n)(192.toByte)
+    val eFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val eBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(eight), eFmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, eBos)
+    val (eRms, _, _) = Multimodal.AudioDecoder.decodeRms(eBos.toByteArray)
+    assert(math.abs(eRms - 0.5) <= 1.0 / 256, eRms.toString)
+  }
+
+  test("corrupt audio payload isolates into decodeError — the stage survives") {
+    import spark.implicits._
+    val good = Multimodal.AudioDecoder.syntheticWav(1L, 8000, 200L)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", good, 0, 0, 8000, 200L),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 9, 9, 9), 0, 0, 8000, 200L))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect().sortBy(_.mediaId)
+    assert(out(0).decodeError.isEmpty && out(0).meanLuma > 0.0)
+    assert(out(1).decodeError.nonEmpty, out(1).toString)
+  }
 }
 
 class StorageSpec extends SparkSpec {
