@@ -307,7 +307,17 @@ object Bench {
       lowRounds += ((ld, lc, ls)); lowStages += lst
       jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
     }
-    (1 to rounds).foreach(_ => onePair())
+    // scheduled pairs beyond the first are budget-guarded like the
+    // adaptive extras: the schedule was sized from the WARMUP estimate,
+    // and when a host episode blows a round 3-5x past it (one observed
+    // local[2] round: 604 s vs ~370 est), an unconditional second pair
+    // consumes the catalog reserve — a complete two-level measurement is
+    // already banked at that point, and 54 skipped catalog entries is a
+    // worse artifact than min-of-1 rounds
+    onePair()
+    (2 to rounds).foreach { _ =>
+      if (remaining() > lastPairCost * 1.15 + 260) onePair()
+    }
     // extra interleaved pairs, two triggers (round-4 verdict item 1b):
     //  - RETRY-FOR-CLEAN-ROUND, symmetric over BOTH levels: round 4's
     //    three low rounds landed in steal windows (10/18/40‰) and dragged

@@ -344,6 +344,12 @@ object Queries {
     graft.runtime.Observed.record(gate + "_recall_loss",
       Map("lossPermille" -> math.round((1.0 - recall) * 1000)))
     if (recall >= floor) return
+    // observe metrics are harvested by an ASYNC QueryExecutionListener —
+    // without a drain, the cap drops of the very query under test can
+    // still be in flight on the listener bus and read as zero, turning a
+    // legitimately-capped run into a hard "collapse" failure
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      org.apache.spark.graftshim.GraftCore.drainListenerBus(s.sparkContext, 5000))
     def drops(snap: Map[String, Map[String, Long]]): Long =
       capPrefixes.map(p => snap.get(p).map(_.values.sum).getOrElse(0L)).sum
     val dropped = drops(graft.runtime.Observed.snapshot()) - drops(before)
@@ -354,8 +360,17 @@ object Queries {
     else throw new IllegalStateException(s"$gate recall collapsed: $detail")
   }
 
+  /** Baseline cap-counter snapshot for a recall gate: drain the listener
+    * bus first so a PRIOR query's still-in-flight cap event cannot land
+    * between the snapshot and the gate and masquerade as this run's drop.
+    */
+  private def capBaseline(s: SparkSession): Map[String, Map[String, Long]] = {
+    org.apache.spark.graftshim.GraftCore.drainListenerBus(s.sparkContext, 5000)
+    graft.runtime.Observed.snapshot()
+  }
+
   val q24_minhash_dedup: Q = (s, d) => {
-    val capSnap = graft.runtime.Observed.snapshot()
+    val capSnap = capBaseline(s)
     val docs = t(s, d, "documents")
     // estimate-filter candidates before the exact verification join —
     // the LSH bands over-generate on low-vocabulary corpora
@@ -398,7 +413,7 @@ object Queries {
     * buckets (whose drops the observe counter reports).
     */
   val q25_simhash_dedup: Q = (s, d) => {
-    val capSnap = graft.runtime.Observed.snapshot()
+    val capSnap = capBaseline(s)
     val docs = t(s, d, "documents")
     val out = graft.ops.Dedup.simhashPairs(docs, maxHamming = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -439,7 +454,7 @@ object Queries {
     * must be found by the LSH path too.
     */
   val q27_embed_neardup_lsh: Q = (s, d) => {
-    val capSnap = graft.runtime.Observed.snapshot()
+    val capSnap = capBaseline(s)
     val emb = t(s, d, "embeddings")
     val out = graft.ops.Dedup.embeddingNearDup(emb, threshold = 0.4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -469,7 +484,7 @@ object Queries {
     * sibling for the same 4 queries.
     */
   val q28_ann_ivf: Q = (s, d) => {
-    val capSnap = graft.runtime.Observed.snapshot()
+    val capSnap = capBaseline(s)
     val emb = t(s, d, "embeddings")
     val queries = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("embedding"))
@@ -484,7 +499,11 @@ object Queries {
     // the invariant is a COLLAPSE detector — a broken cell assignment or
     // probe selection lands near zero, never near the natural band
     require(total > 0, "IVF exact-sibling oracle returned zero rows")
-    recallGate("q28_ivf", Seq("ivf_degenerate_centroids"), capSnap, hit, total,
+    // NO excuse counters: a dropped degenerate (zero-norm) centroid can
+    // never win the cosine argmax (Ann.scala's own invariant), so it
+    // cannot explain recall loss — recall under the floor is always a
+    // hard collapse here, never downgradeable to a warning
+    recallGate("q28_ivf", Seq.empty, capSnap, hit, total,
       0.25, s"$hit of $total (nProbe=4 of c=16 cells)")
     out
   }
@@ -948,11 +967,17 @@ object Queries {
     * [[graft.graphout.GraphStorage.saveBucketed]] — nodes bucketed on id,
     * edges on srcId, PLUS the dstId-bucketed dual edge copy.
     */
-  private val bucketedCache = scala.collection.mutable.HashMap.empty[String, graft.graphout.GraphStorage]
+  private val bucketedCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), graft.graphout.GraphStorage]
   private def bucketedTpch(s: SparkSession, d: String): graft.graphout.GraphStorage =
     synchronized {
-      val key = System.identityHashCode(s) + "|" + d
-      bucketedCache.getOrElseUpdate(key, {
+      // keyed by the session REFERENCE (SparkSession does not override
+      // equals), never its identityHashCode — hash collisions between
+      // sessions cannot alias entries; stopped sessions are evicted on
+      // access so a long-lived JVM (test suites, repeated bench rounds)
+      // does not accumulate dead GraphStorage/session pairs
+      bucketedCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      bucketedCache.getOrElseUpdate((s, d), {
         val root = "/tmp/graft_bucketed_" + graft.model.Ids.contentSha(d).take(8)
         val st = new graft.graphout.GraphStorage(s, root)
         st.saveBucketed("tpch", tpchGraph(s, d), buckets = 16)
@@ -1387,8 +1412,11 @@ object Queries {
         |UNION ALL
         |SELECT 'region_' || n_regionkey, count(*) FROM nation GROUP BY 1""".stripMargin,
     "kg_tripleset" ->
-      ("SELECT subjName, relType, objName FROM read_parquet(" +
-        "'/root/repo/tools/fixtures/closed_form_triples_400.parquet')"),
+      // cwd-resolved, matching FixtureGen's cwd-relative write target —
+      // a hardcoded absolute path breaks any checkout not at /root/repo
+      ("SELECT subjName, relType, objName FROM read_parquet('" +
+        new java.io.File("tools/fixtures/closed_form_triples_400.parquet")
+          .getAbsolutePath + "')"),
     "kg_stats_basic" ->
       """SELECT key, CAST(v AS DOUBLE) AS value_r6 FROM (VALUES
         |  ('nodes', '5.0'), ('edges', '5.0'), ('density', '0.25'),

@@ -95,7 +95,16 @@ object ConnectedComponents {
       e.unpersist(blocking = false)
       return out
     }
-    var sig: (Long, Long) = null
+    // seed with the INPUT signature so an already-converged pair graph is
+    // detected after ONE star round instead of two: one shuffle-free
+    // aggregate over the probe-hot cache, run once up front — unlike the
+    // pre-round-5 per-iteration signature actions, it does not scale with
+    // iteration count (a null seed can never match round 1's signature,
+    // which costs every pre-starred input two extra full-shuffle rounds)
+    var sig: (Long, Long) = {
+      val r = e.select(signatureMetrics: _*).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var iter = 0
     var converged = taken.isEmpty
     while (!converged && iter < maxIter) {

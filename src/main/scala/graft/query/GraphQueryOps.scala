@@ -179,15 +179,36 @@ object GraphQueryOps {
         var depth = 0
         var blown = false
         while (depth < maxDepth && live.nonEmpty && found.size < maxPaths && !blown) {
-          val stepped = live.flatMap { p =>
-            adj.getOrElse(p.last, Array.empty[String])
-              .iterator.filterNot(p.contains).map(p :+ _)
+          // incremental expansion with an IN-FLIGHT bound check: a strict
+          // flatMap would materialize the entire next depth before any
+          // size test — on a dense graph that overshoots the cap by up to
+          // the max out-degree and can exhaust the driver heap before the
+          // distributed fallback ever engages; here the builder bails the
+          // moment the cap is crossed
+          val stepped = Vector.newBuilder[Vector[String]]
+          var n = 0
+          val it = live.iterator
+          while (it.hasNext && !blown) {
+            val p = it.next()
+            val ns = adj.getOrElse(p.last, Array.empty[String])
+            var j = 0
+            while (j < ns.length && !blown) {
+              val nx = ns(j)
+              if (!p.contains(nx)) {
+                stepped += (p :+ nx)
+                n += 1
+                if (n > DriverPathBound) blown = true
+              }
+              j += 1
+            }
           }
-          // same early-exit boundary as the distributed loop: hits are
-          // banked AFTER a full depth completes, then the loop stops
-          found ++= stepped.filter(_.last == dstId)
-          live = stepped.filterNot(_.last == dstId)
-          if (live.size > DriverPathBound) blown = true
+          if (!blown) {
+            // same early-exit boundary as the distributed loop: hits are
+            // banked AFTER a full depth completes, then the loop stops
+            val sv = stepped.result()
+            found ++= sv.filter(_.last == dstId)
+            live = sv.filterNot(_.last == dstId)
+          }
           depth += 1
         }
         if (!blown) {

@@ -51,9 +51,13 @@ object StreamingIngest {
     val linked = graft.link.Linker.link(deduped)
     val redirected = graft.link.Linker.redirectEdges(triples, linked.rewrite)
     val g = graft.graphout.GraphBuilder.build(linked.canonical, redirected)
+    // zero-join projection — the SAME shape as the batch pipelines'
+    // triple-set stage: build() attaches canonical srcName/dstName to
+    // every edge, so re-joining nodes here would pay two redundant
+    // node-side exchanges per compaction to recompute names the edge
+    // rows already carry
     g.edges.toDF()
-      .join(g.nodes.toDF().select($"id".as("srcId"), $"name".as("subjName")), Seq("srcId"))
-      .join(g.nodes.toDF().select($"id".as("dstId"), $"name".as("objName")), Seq("dstId"))
-      .select($"subjName", $"relType", $"objName").distinct()
+      .select($"srcName".as("subjName"), $"relType", $"dstName".as("objName"))
+      .distinct()
   }
 }
