@@ -73,6 +73,17 @@ object Bench {
     (kgFiles, rounds, rounds * estPair + reserve + warm2Est < remainingSec)
   }
 
+  /** Pure budget rule (unit-tested — BenchSpec): may a further protocol
+    * pair start without eating the catalog reserve? Applied to every
+    * scheduled pair beyond the first — the schedule was sized from the
+    * warmup ESTIMATE, and a host episode can blow a real round 3-5x past
+    * it; the last pair's observed cost (+15% margin) is the honest
+    * predictor at decision time.
+    */
+  def affordsPair(remainingSec: Double, lastPairSec: Double,
+                  reserveSec: Double = 260.0): Boolean =
+    remainingSec > lastPairSec * 1.15 + reserveSec
+
   private def session(cpus: Int, parts: Int): SparkSession = {
     val s = graft.runtime.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
@@ -316,7 +327,7 @@ object Bench {
     // worse artifact than min-of-1 rounds
     onePair()
     (2 to rounds).foreach { _ =>
-      if (remaining() > lastPairCost * 1.15 + 260) onePair()
+      if (affordsPair(remaining(), lastPairCost)) onePair()
     }
     // extra interleaved pairs, two triggers (round-4 verdict item 1b):
     //  - RETRY-FOR-CLEAN-ROUND, symmetric over BOTH levels: round 4's

@@ -128,6 +128,12 @@ object ConnectedComponents {
       sig = s2
       iter += 1
     }
+    // diagnostics counter (no-silent-anything): lets tests and run
+    // manifests see how many star rounds a graph actually took — the
+    // input-signature seed above is pinned by a 1-round assertion on a
+    // pre-starred graph (Round5Spec)
+    graft.runtime.Observed.record("cc_iterations", Map("rounds" -> iter.toLong),
+      quiet = true)
     // stars: every src points at its component min; minima map to themselves
     val members = e.select(col("src").as("id"), col("dst").as("comp"))
     val roots = e.select(col("dst").as("id")).distinct()

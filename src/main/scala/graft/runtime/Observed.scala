@@ -63,11 +63,14 @@ object Observed {
   }
 
   /** Record a driver-computed counter (e.g. a probe job's count) under the
-    * same no-silent-caps registry as the observe metrics.
+    * same no-silent-caps registry as the observe metrics. `quiet` skips
+    * the capped-rows WARN for counters that are diagnostics, not drops
+    * (e.g. iteration counts) — they still land in the registry and every
+    * checkpoint manifest.
     */
-  def record(prefix: String, m: Map[String, Long]): Unit = {
+  def record(prefix: String, m: Map[String, Long], quiet: Boolean = false): Unit = {
     values.put(name(prefix), m)
-    m.foreach { case (k, v) =>
+    if (!quiet) m.foreach { case (k, v) =>
       if (v > 0)
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"graft observed metric $prefix.$k = $v (capped/dropped rows)")

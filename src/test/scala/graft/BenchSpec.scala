@@ -42,4 +42,15 @@ class BenchSpec extends AnyFunSuite {
     val (files, _, _) = Bench.adaptSchedule(60000L, 400.0, 300.0, rounds0 = 2)
     assert(files == 40000L, s"got $files")
   }
+
+  test("a scheduled pair that would eat the catalog reserve is dropped") {
+    // the observed failure: warmup estimated ~224 s/pair, the real pair
+    // cost 731 s (604 s low round in a steal episode) — at pair-2 time
+    // only ~160 s remained and running it skipped all 54 catalog entries
+    assert(!Bench.affordsPair(remainingSec = 160.0, lastPairSec = 731.0))
+    // healthy window: pair ~170 s, plenty left → second pair runs
+    assert(Bench.affordsPair(remainingSec = 700.0, lastPairSec = 170.0))
+    // boundary: the reserve itself is never enough
+    assert(!Bench.affordsPair(remainingSec = 260.0, lastPairSec = 0.1))
+  }
 }

@@ -24,6 +24,24 @@ class CcDistributedSpec extends SparkSpec {
     val dist = collect(graft.link.ConnectedComponents.run(df, driverThreshold = 0))
     assert(dist.nonEmpty && dist == driver)
   }
+
+  test("pre-starred input converges after ONE round (input-signature seed)") {
+    import spark.implicits._
+    // edges already in the converged orientation (larger → component
+    // min): one star round reproduces them bit-identically, and the
+    // input-signature seed must detect that — a null seed would force a
+    // second full-shuffle round to get two equal consecutive signatures
+    val df = Seq(("b", "a"), ("c", "a"), ("d", "a"), ("y", "x"))
+      .toDF("src", "dst")
+    graft.runtime.Observed.clear("cc_iterations")
+    val res = graft.link.ConnectedComponents.run(df, driverThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+    val rounds = graft.runtime.Observed.get("cc_iterations")
+      .flatMap(_.get("rounds"))
+    assert(rounds.contains(1L), s"expected 1 star round, observed $rounds")
+  }
 }
 
 class FindPathSpec extends SparkSpec {
