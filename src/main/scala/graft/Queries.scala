@@ -336,7 +336,7 @@ object Queries {
     * the cap counters, not a fixed threshold, decide whether low recall
     * is a collapse or the documented cap trade.
     */
-  private def recallGate(gate: String, capPrefixes: Seq[String],
+  private def recallGate(s: SparkSession, gate: String, capPrefixes: Seq[String],
                          before: Map[String, Map[String, Long]],
                          hit: Long, total: Long, floor: Double,
                          detail: String): Unit = {
@@ -347,9 +347,14 @@ object Queries {
     // observe metrics are harvested by an ASYNC QueryExecutionListener —
     // without a drain, the cap drops of the very query under test can
     // still be in flight on the listener bus and read as zero, turning a
-    // legitimately-capped run into a hard "collapse" failure
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-      org.apache.spark.graftshim.GraftCore.drainListenerBus(s.sparkContext, 5000))
+    // legitimately-capped run into a hard "collapse" failure. The session
+    // is passed EXPLICITLY (getActiveSession is a thread-local that can be
+    // unset on pool threads — a silent no-op drain re-opens the race);
+    // a timed-out drain is loud so a later hard failure is attributable
+    if (capPrefixes.nonEmpty &&
+        !org.apache.spark.graftshim.GraftCore.drainListenerBus(s.sparkContext, 5000))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$gate: listener bus did not drain in 5 s - cap counters may be stale")
     def drops(snap: Map[String, Map[String, Long]]): Long =
       capPrefixes.map(p => snap.get(p).map(_.values.sum).getOrElse(0L)).sum
     val dropped = drops(graft.runtime.Observed.snapshot()) - drops(before)
@@ -358,6 +363,23 @@ object Queries {
         f"$gate recall $recall%.3f under floor $floor but $dropped rows were " +
           s"legitimately cap-dropped this run - degraded to warning: $detail")
     else throw new IllegalStateException(s"$gate recall collapsed: $detail")
+  }
+
+  /** Resolve a committed fixture by walking UP from the JVM's cwd to the
+    * repo root (any checkout location, any launch directory under it) —
+    * neither a hardcoded absolute path (breaks non-standard checkouts)
+    * nor a bare cwd-relative one (breaks jars launched from elsewhere in
+    * the tree) covers both. Falls back to cwd-relative if never found,
+    * so the DuckDB error names the path it actually tried.
+    */
+  private def fixturePath(rel: String): String = {
+    var dir: java.io.File = new java.io.File(".").getAbsoluteFile
+    while (dir != null) {
+      val c = new java.io.File(dir, rel)
+      if (c.exists()) return c.getAbsolutePath
+      dir = dir.getParentFile
+    }
+    new java.io.File(rel).getAbsolutePath
   }
 
   /** Baseline cap-counter snapshot for a recall gate: drain the listener
@@ -399,7 +421,7 @@ object Queries {
     if (e > 0) {
       val hit = out.join(exactHigh.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
         .count()
-      recallGate("q24_minhash", Seq("minhash_band_cap"), capSnap, hit, e, 0.7,
+      recallGate(s, "q24_minhash", Seq("minhash_band_cap"), capSnap, hit, e, 0.7,
         s"$hit of $e exact-J>=0.8 pairs on doc_id<200")
     }
     out
@@ -427,7 +449,7 @@ object Queries {
     if (e >= 3) {
       val hit = out.join(exact.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
         .count()
-      recallGate("q25_simhash", Seq("simhash_band_cap"), capSnap, hit, e, 0.95,
+      recallGate(s, "q25_simhash", Seq("simhash_band_cap"), capSnap, hit, e, 0.95,
         s"$hit of $e Hamming<=3 pairs on doc_id<300")
     }
     out
@@ -473,7 +495,7 @@ object Queries {
     if (ecnt >= 3) {
       val hit = out.join(exactHigh.select("idA", "idB"), Seq("idA", "idB"), "left_semi")
         .count()
-      recallGate("q27_embed_lsh", Seq("embed_band_cap"), capSnap, hit, ecnt, 0.6,
+      recallGate(s, "q27_embed_lsh", Seq("embed_band_cap"), capSnap, hit, ecnt, 0.6,
         s"$hit of $ecnt cos>=0.9 pairs on vec_id<500")
     }
     out
@@ -484,7 +506,6 @@ object Queries {
     * sibling for the same 4 queries.
     */
   val q28_ann_ivf: Q = (s, d) => {
-    val capSnap = capBaseline(s)
     val emb = t(s, d, "embeddings")
     val queries = emb.where(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("embedding"))
@@ -503,7 +524,7 @@ object Queries {
     // never win the cosine argmax (Ann.scala's own invariant), so it
     // cannot explain recall loss — recall under the floor is always a
     // hard collapse here, never downgradeable to a warning
-    recallGate("q28_ivf", Seq.empty, capSnap, hit, total,
+    recallGate(s, "q28_ivf", Seq.empty, Map.empty, hit, total,
       0.25, s"$hit of $total (nProbe=4 of c=16 cells)")
     out
   }
@@ -1412,11 +1433,8 @@ object Queries {
         |UNION ALL
         |SELECT 'region_' || n_regionkey, count(*) FROM nation GROUP BY 1""".stripMargin,
     "kg_tripleset" ->
-      // cwd-resolved, matching FixtureGen's cwd-relative write target —
-      // a hardcoded absolute path breaks any checkout not at /root/repo
       ("SELECT subjName, relType, objName FROM read_parquet('" +
-        new java.io.File("tools/fixtures/closed_form_triples_400.parquet")
-          .getAbsolutePath + "')"),
+        fixturePath("tools/fixtures/closed_form_triples_400.parquet") + "')"),
     "kg_stats_basic" ->
       """SELECT key, CAST(v AS DOUBLE) AS value_r6 FROM (VALUES
         |  ('nodes', '5.0'), ('edges', '5.0'), ('density', '0.25'),

@@ -129,11 +129,12 @@ object ConnectedComponents {
       iter += 1
     }
     // diagnostics counter (no-silent-anything): lets tests and run
-    // manifests see how many star rounds a graph actually took — the
+    // manifests see how many star rounds THIS graph took — last-value
+    // semantics (recordLast), since a prefix-sum across several CC runs
+    // in one process would attribute the total to no graph. The
     // input-signature seed above is pinned by a 1-round assertion on a
-    // pre-starred graph (Round5Spec)
-    graft.runtime.Observed.record("cc_iterations", Map("rounds" -> iter.toLong),
-      quiet = true)
+    // pre-starred graph (Round5Spec).
+    graft.runtime.Observed.recordLast("cc_iterations", Map("rounds" -> iter.toLong))
     // stars: every src points at its component min; minima map to themselves
     val members = e.select(col("src").as("id"), col("dst").as("comp"))
     val roots = e.select(col("dst").as("id")).distinct()

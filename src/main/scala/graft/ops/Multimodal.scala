@@ -212,8 +212,8 @@ object Multimodal {
       val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
       val w = 16 + rnd.nextInt(48)
       val h = 16 + rnd.nextInt(48)
-      // 8 kHz keeps the synthetic WAV payloads at 3–20 KB so corpus-scale
-      // tests stay cheap; the decoder itself handles any rate
+      // 8 kHz keeps the synthetic WAV payloads at ~3–32 KB so corpus-
+      // scale tests stay cheap; the decoder itself handles any rate
       val rateHz = 8000
       val durMs = 200L + rnd.nextInt(1800)
       val payload = mt match {

@@ -63,19 +63,26 @@ object Observed {
   }
 
   /** Record a driver-computed counter (e.g. a probe job's count) under the
-    * same no-silent-caps registry as the observe metrics. `quiet` skips
-    * the capped-rows WARN for counters that are diagnostics, not drops
-    * (e.g. iteration counts) — they still land in the registry and every
-    * checkpoint manifest.
+    * same no-silent-caps registry as the observe metrics.
     */
-  def record(prefix: String, m: Map[String, Long], quiet: Boolean = false): Unit = {
+  def record(prefix: String, m: Map[String, Long]): Unit = {
     values.put(name(prefix), m)
-    if (!quiet) m.foreach { case (k, v) =>
+    m.foreach { case (k, v) =>
       if (v > 0)
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"graft observed metric $prefix.$k = $v (capped/dropped rows)")
     }
   }
+
+  /** Record a LAST-VALUE diagnostic (e.g. an iteration count): stored
+    * under the bare prefix so each call OVERWRITES the previous value
+    * instead of minting a `#n` entry that the prefix-SUM reads would
+    * aggregate — "rounds this run", not "rounds across all runs ever".
+    * Drop counters must use [[record]]/observe (sums are the right
+    * semantics there); never mix both styles under one prefix.
+    */
+  def recordLast(prefix: String, m: Map[String, Long]): Unit =
+    values.put(prefix, m)
 
   private def prefixOf(key: String): String = {
     val i = key.lastIndexOf('#')
