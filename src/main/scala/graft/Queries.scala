@@ -552,8 +552,8 @@ object Queries {
   }
 
   /** Multimodal feature-extraction plumbing over a deterministic synthetic
-    * media corpus (image decode REAL via ImageIO, audio REAL via
-    * javax.sound; video stubbed).
+    * media corpus — all three codecs REAL over pure JDK: image via
+    * ImageIO, audio via javax.sound, video via the MJPEG-AVI chunk walk.
     * Rows-only, with an IN-RUN invariant: the synthetic corpus must decode
     * with zero per-row errors and in-range luma.
     */

@@ -8,18 +8,16 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing for training-data pipelines: image/audio/
  * video payloads are opaque `binary` columns with typed metadata structs.
  *
- * The IMAGE path is real: payloads are actual PNG bytes and
- * [[ImageDecoder]] decodes them with `javax.imageio` (JDK built-in — no
- * external dependency). The AUDIO path is real too: payloads are actual
- * WAV (PCM) bytes and [[AudioDecoder]] decodes them with
- * `javax.sound.sampled` (also JDK built-in), normalizing any PCM layout
- * (8/16-bit, stereo, either endianness) to 16-bit mono before the RMS
- * computation. VIDEO frame decode needs codec libraries NOT present in
- * this container — that step is STUBBED behind `DecoderStub` with a
- * deterministic fake so the Spark-side plumbing (schema, batch shape,
- * partitioning, per-partition decoder amortization) is real and tested.
- * In production the stub body is replaced by the real codec call;
- * nothing around it changes.
+ * EVERY modality decodes real payloads with pure-JDK codecs — no
+ * external dependency, no stubs:
+ *  - IMAGE: PNG/JPEG bytes through `javax.imageio` ([[ImageDecoder]]);
+ *  - AUDIO: PCM WAV bytes through `javax.sound.sampled`
+ *    ([[AudioDecoder]] — any PCM layout normalized to 16-bit mono
+ *    before the RMS computation);
+ *  - VIDEO: MJPEG-in-AVI bytes through a RIFF chunk walk + per-frame
+ *    ImageIO decode ([[VideoDecoder]]). Inter-frame codecs (H.264 etc.)
+ *    need external libraries; they would plug into the same
+ *    per-partition decoder slot without changing anything around it.
  *
  * Batching shape mirrors mapInPandas/Arrow semantics: work happens in
  * `mapPartitions` so the (expensive) decoder context is created once per
@@ -44,7 +42,7 @@ object Multimodal {
       nBytes: Long,
       payloadSha: String,
       // image: REAL ImageIO-decoded mean luma; audio: REAL decoded RMS
-      // level; video: decode stub
+      // level; video: REAL mean luma over the sampled MJPEG frames
       meanLuma: Double,
       resizedW: Int,
       resizedH: Int,
@@ -200,10 +198,135 @@ object Multimodal {
     }
   }
 
+  /** Real video codec for MJPEG-in-AVI over pure JDK: the RIFF/AVI
+    * container (public Microsoft spec) is a fourcc+size chunk walk, and
+    * each `00dc` frame chunk is a complete JPEG that `javax.imageio`
+    * decodes. Production codecs (H.264 etc.) need external libraries and
+    * would plug into the same per-partition decoder slot; MJPEG keeps the
+    * whole modality real with zero dependencies. Encode is only used by
+    * the synthetic corpus; decode is the production kernel.
+    */
+  object VideoDecoder {
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Deterministic MJPEG AVI: frame f of clip `id` is the image-pattern
+      * formula evaluated at (id*1000+f) and JPEG-encoded — reproducible
+      * bytes for any (id, w, h, frames, fps).
+      */
+    def syntheticMjpegAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+      val jpegs = (0 until frames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val seed = id * 1000 + f
+            val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((seed * 17 + x * 11 + y * 3) % 256).toInt
+            val b = ((seed * 29 + x * 5 + y * 19) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val usPerFrame = 1000000 / fps
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames) ++
+        le32(0) ++ le32(-1) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++
+        Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++ le32(w * h * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        fourcc(cc) ++ le32(body.length) ++ padded
+      }
+      def list(tpe: String, body: Array[Byte]): Array[Byte] =
+        fourcc("LIST") ++ le32(body.length + 4) ++ fourcc(tpe) ++ body
+      val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+      val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** Decode an MJPEG AVI payload, sampling every `sampleEvery`-th frame
+      * through the JPEG decoder, and return (mean luma over the sampled
+      * frames ∈ [0,1], width, height, framesSampled, durationMs). Walks
+      * the RIFF chunk tree (fourcc + LE32 size, chunks padded to even);
+      * frame dimensions come from the decoded frames, duration from the
+      * avih header's µs-per-frame × total frames. Throws on anything that
+      * is not a parseable one-video-stream AVI; [[extractFeatures]]
+      * isolates the failure into the row's `decodeError` field.
+      */
+    def decodeSampled(payload: Array[Byte], sampleEvery: Int = 1)
+        : (Double, Int, Int, Int, Long) = {
+      require(payload.length >= 12 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "AVI ", "not a RIFF AVI payload")
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      var usPerFrame = 0L
+      var totalFrames = 0L
+      var lumaSum = 0.0
+      var sampled = 0
+      var frameIdx = 0
+      var w = 0
+      var h = 0
+      // iterative chunk walk with an explicit (offset, end) stack — a
+      // malformed size can never recurse or loop unboundedly
+      var stack = List((12, payload.length))
+      while (stack.nonEmpty) {
+        val (off, end) = stack.head
+        stack = stack.tail
+        var p = off
+        while (p + 8 <= end) {
+          val cc = new String(payload, p, 4, "US-ASCII")
+          val size = u32(p + 4)
+          val bodyStart = p + 8
+          val bodyEnd = bodyStart + size
+          require(size >= 0 && bodyEnd <= payload.length, s"chunk $cc overruns payload")
+          if (cc == "LIST" && size >= 4) {
+            // descend into hdrl/movi/strl; resume after this list
+            stack = ((bodyStart + 4).toInt, bodyEnd.toInt) :: stack
+          } else if (cc == "avih" && size >= 40) {
+            usPerFrame = u32(bodyStart)
+            totalFrames = u32(bodyStart + 16)
+          } else if (cc == "00dc" || cc == "00dj") {
+            if (frameIdx % sampleEvery == 0) {
+              val jpeg = java.util.Arrays.copyOfRange(payload, bodyStart, bodyEnd.toInt)
+              val (l, fw, fh) = ImageDecoder.decodeMeanLuma(jpeg)
+              lumaSum += l; sampled += 1; w = fw; h = fh
+            }
+            frameIdx += 1
+          }
+          // chunks are padded to even length
+          p = (bodyEnd + (size % 2)).toInt
+        }
+      }
+      require(sampled > 0, "AVI payload contained no decodable frames")
+      val durationMs =
+        if (usPerFrame > 0) totalFrames * usPerFrame / 1000 else 0L
+      (lumaSum / sampled, w, h, sampled, durationMs)
+    }
+  }
+
   /** Deterministic synthetic media corpus (seeded — payload is a pure
-    * function of id) for testing the plumbing at any scale. Image rows
-    * carry REAL PNG bytes, audio rows REAL WAV bytes; video rows carry
-    * opaque byte payloads (the one stubbed modality).
+    * function of id) for testing the plumbing at any scale. Every
+    * modality carries REAL bytes: image rows PNG, audio rows PCM WAV,
+    * video rows MJPEG AVI.
     */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
@@ -216,39 +339,33 @@ object Multimodal {
       // scale tests stay cheap; the decoder itself handles any rate
       val rateHz = 8000
       val durMs = 200L + rnd.nextInt(1800)
+      // 5 fps MJPEG: 1–9 small JPEG frames per clip (~1–20 KB payloads)
+      val fps = 5
       val payload = mt match {
         case "image" => ImageDecoder.syntheticPng(i, w, h)
         case "audio" => AudioDecoder.syntheticWav(i, rateHz, durMs)
-        case _       => Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+        case _ =>
+          VideoDecoder.syntheticMjpegAvi(i, w, h,
+            frames = math.max(1, (durMs * fps / 1000).toInt), fps = fps)
       }
       MediaRow(i, mt, payload, width = w, height = h,
         sampleRateHz = rateHz, durationMs = durMs)
     }
   }
 
-  /** The stubbed VIDEO decoder (image and audio decode are real — see
-    * [[ImageDecoder]] / [[AudioDecoder]]). Replace the body with the real
-    * codec (e.g. javacpp-ffmpeg) in production; the deterministic fake
-    * keeps tests meaningful: outputs depend only on the payload bytes.
+  /** Aspect-preserving resize arithmetic (the metadata side of a resize
+    * stage — the pixel resample itself would ride the same per-partition
+    * decoder slot as the codecs above).
     */
-  object DecoderStub {
-    def fakeMeanLevel(payload: Array[Byte]): Double =
-      if (payload.isEmpty) 0.0
-      else payload.map(b => (b & 0xff).toDouble).sum / payload.length / 255.0
-
-    def resize(w: Int, h: Int, target: Int): (Int, Int) = {
-      val scale = target.toDouble / math.max(w, h)
-      (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
-    }
-
-    def sampleFrames(durationMs: Long, fps: Double = 1.0): Int =
-      math.max(1, (durationMs / 1000.0 * fps).toInt)
+  def resizeDims(w: Int, h: Int, target: Int): (Int, Int) = {
+    val scale = target.toDouble / math.max(w, h)
+    (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
   }
 
   /** Feature extraction stage: mapPartitions so decoder init happens once
-    * per partition (the Pandas-UDF batch contract). Image rows are decoded
-    * for real with ImageIO, audio rows with javax.sound; video goes
-    * through the stub.
+    * per partition (the Pandas-UDF batch contract). Every modality is
+    * decoded for real: images with ImageIO, audio with javax.sound,
+    * MJPEG-AVI video frame-by-frame through ImageIO.
     */
   def extractFeatures(media: Dataset[MediaRow], resizeTarget: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -264,35 +381,46 @@ object Multimodal {
         // per-row failure isolation (the extraction stage's error-side-
         // output pattern): a corrupt payload yields a row with
         // decodeError set, never a dead stage
-        val (luma, realW, realH, err) = m.mediaType match {
+        val (luma, realW, realH, frames, err) = m.mediaType match {
           case "image" =>
             try {
               val (l, w, h) = ImageDecoder.decodeMeanLuma(m.payload)
-              (l, w, h, None)
+              (l, w, h, 1, None)
             } catch {
               case e: Exception =>
-                (0.0, m.width, m.height,
+                (0.0, m.width, m.height, 0,
                   Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
             }
           case "audio" =>
             try {
               val (rms, _, _) = AudioDecoder.decodeRms(m.payload)
-              (rms, m.width, m.height, None)
+              (rms, m.width, m.height, 1, None)
             } catch {
               case e: Exception =>
-                (0.0, m.width, m.height,
+                (0.0, m.width, m.height, 0,
                   Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
             }
-          case _ => (DecoderStub.fakeMeanLevel(m.payload), m.width, m.height, None)
+          case _ =>
+            try {
+              // every 5th frame ≈ 1 frame/sec at the corpus's 5 fps (a
+              // production pipeline derives the stride from the stream's
+              // own rate); decodeSampled always decodes frame 0, so short
+              // clips still sample at least one frame
+              val (l, w, h, n, _) = VideoDecoder.decodeSampled(m.payload, sampleEvery = 5)
+              (l, w, h, n, None)
+            } catch {
+              case e: Exception =>
+                (0.0, m.width, m.height, 0,
+                  Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            }
         }
-        val (rw, rh) = DecoderStub.resize(realW, realH, resizeTarget)
+        val (rw, rh) = resizeDims(realW, realH, resizeTarget)
         MediaFeatures(
           mediaId = m.mediaId, mediaType = m.mediaType,
           nBytes = m.payload.length.toLong, payloadSha = sha,
           meanLuma = luma,
           resizedW = rw, resizedH = rh,
-          nFramesSampled =
-            if (m.mediaType == "video") DecoderStub.sampleFrames(m.durationMs) else 1,
+          nFramesSampled = frames,
           decodeError = err)
       }
     }

@@ -497,6 +497,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).decodeError.isEmpty && out(0).meanLuma > 0.0)
     assert(out(1).decodeError.nonEmpty, out(1).toString)
   }
+
+  test("video decode is REAL MJPEG-AVI: dims, duration, and stride-sampling pinned") {
+    val payload = Multimodal.VideoDecoder.syntheticMjpegAvi(7L, 16, 12, frames = 7, fps = 5)
+    val (luma, w, h, sampled, durMs) = Multimodal.VideoDecoder.decodeSampled(payload)
+    assert(w == 16 && h == 12, s"$w x $h")
+    assert(sampled == 7)
+    // avih header: 7 frames × (1000000/5) µs = 1400 ms
+    assert(durMs == 1400L, durMs.toString)
+    assert(luma > 0.0 && luma < 1.0)
+
+    // parity pin: the container walk must hand each 00dc chunk's bytes to
+    // the JPEG decoder VERBATIM — re-encode the same frames independently
+    // and the per-frame lumas must match exactly (same encoder, same bytes)
+    var sum = 0.0
+    (0 until 7).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val seed = 7L * 1000 + f
+      (0 until 12).foreach { y =>
+        (0 until 16).foreach { x =>
+          val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((seed * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((seed * 29 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val (l, _, _) = Multimodal.ImageDecoder.decodeMeanLuma(bos.toByteArray)
+      sum += l
+    }
+    assert(math.abs(luma - sum / 7) < 1e-12, s"$luma vs ${sum / 7}")
+
+    // stride sampling: every 5th of 7 frames → frames {0, 5} = 2 sampled
+    val (_, _, _, s2, _) = Multimodal.VideoDecoder.decodeSampled(payload, sampleEvery = 5)
+    assert(s2 == 2, s2.toString)
+  }
+
+  test("corrupt/truncated video payload isolates into decodeError — the stage survives") {
+    import spark.implicits._
+    val good = Multimodal.VideoDecoder.syntheticMjpegAvi(1L, 16, 12, frames = 6, fps = 5)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", good, 16, 12, 0, 1200L),
+      // truncated mid-stream: the RIFF header parses but a frame chunk
+      // overruns the payload — must throw inside the walk, not decode junk
+      Multimodal.MediaRow(2L, "video", good.take(good.length / 2), 16, 12, 0, 1200L),
+      Multimodal.MediaRow(3L, "video", Array[Byte](1, 2, 3, 4), 16, 12, 0, 1200L))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect().sortBy(_.mediaId)
+    assert(out(0).decodeError.isEmpty && out(0).meanLuma > 0.0)
+    // extractFeatures samples every 5th frame: 6 frames → {0, 5} = 2
+    assert(out(0).nFramesSampled == 2, out(0).toString)
+    assert(out(1).decodeError.nonEmpty, out(1).toString)
+    assert(out(2).decodeError.nonEmpty, out(2).toString)
+  }
 }
 
 class StorageSpec extends SparkSpec {
