@@ -84,6 +84,19 @@ object Bench {
                   reserveSec: Double = 260.0): Boolean =
     remainingSec > lastPairSec * 1.15 + reserveSec
 
+  /** Pure launch-gate rule (unit-tested — BenchSpec): is this sampled
+    * window clean enough to START the protocol? Clean = steal under 5‰
+    * AND the calMBs probe at or above BOTH (a) 85% of the best probe
+    * seen during the gate and (b) an absolute floor screening the
+    * steal-invisible memory-bus episodes this host shows (BASELINE.md:
+    * calMBs 187–479 during episodes vs 1100–1350 clean — 600 splits
+    * them; on slower-but-clean hardware a too-high floor costs at most
+    * the bounded gate wait, never the run).
+    */
+  def gateClean(stealPermille: Long, calMBs: Double, bestCalMBs: Double,
+                calFloor: Double = 600.0): Boolean =
+    stealPermille < 5 && calMBs >= 0.85 * bestCalMBs && calMBs >= calFloor
+
   private def session(cpus: Int, parts: Int): SparkSession = {
     val s = graft.runtime.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
@@ -222,6 +235,40 @@ object Bench {
       val skipped = allQueryNames.filterNot(done)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q,"queriesHost":$qh,"failed":$failed,"skipped":$skipped,"sf":"$sfDir","kg":$kg}"""
+    }
+
+    // ---- 0. launch steal-gate (round-5): the driver starts Bench at an
+    // arbitrary moment, and a host episode at LAUNCH is the worst case —
+    // the warmup probe shrinks the corpus on degraded evidence and every
+    // early round lands dirty. Poll short windows (steal delta + calMBs
+    // probe) and start from the first clean one, bounded so the gate can
+    // never eat the run (gate time comes off the same deadline, and
+    // adaptSchedule sees the reduced remaining()). Evidence: a gated
+    // protocol run measured 0.838 efficiency vs 0.64–0.69 for ungated
+    // runs of the same binary the same afternoon (BASELINE.md round 5).
+    locally {
+      val gateSec = sys.env.get("SPARK_GRAFT_LAUNCH_GATE").map(_.toInt)
+        .getOrElse(if (budgetSec >= 600) 150 else 0)
+      val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "600").toDouble
+      if (gateSec > 0) {
+        val gateDeadline = System.nanoTime() + gateSec * 1_000_000_000L
+        calibrate() // throwaway: warm the hasher so probe 1 isn't JIT-cold
+        var bestCal = 0.0
+        var go = false
+        while (!go && System.nanoTime() < gateDeadline) {
+          val cal = calibrate()
+          val (s0, t0) = stealTicks()
+          Thread.sleep(6000)
+          val (s1, t1) = stealTicks()
+          val steal = (s1 - s0) * 1000 / math.max(1, t1 - t0)
+          bestCal = math.max(bestCal, cal)
+          go = gateClean(steal, cal, bestCal, calFloor)
+          if (!go) System.err.println(
+            f"[bench] launch gate: steal=$steal‰ calMBs=$cal%.0f — waiting for a clean window")
+        }
+        if (!go) System.err.println(
+          s"[bench] launch gate expired after ${gateSec}s without a clean window — proceeding (round retries will chase one)")
+      }
     }
 
     // ---- 1. the required signal: interleaved scaling (high, low)×rounds.

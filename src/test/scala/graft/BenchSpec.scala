@@ -53,4 +53,23 @@ class BenchSpec extends AnyFunSuite {
     // boundary: the reserve itself is never enough
     assert(!Bench.affordsPair(remainingSec = 260.0, lastPairSec = 0.1))
   }
+
+  test("launch gate: clean window requires low steal AND a healthy calMBs probe") {
+    // clean: 0‰ steal, probe at the run's best and above the floor
+    assert(Bench.gateClean(0, 1252.0, 1252.0))
+    // visible steal episode (the 77‰ run that measured 0.07 efficiency)
+    assert(!Bench.gateClean(77, 1200.0, 1200.0))
+    // steal-INVISIBLE memory-bus episode: ≤5‰ steal but calMBs collapsed
+    // (observed stamps 187/296/479 — all under the 600 floor)
+    assert(!Bench.gateClean(2, 479.0, 479.0))
+    assert(!Bench.gateClean(0, 187.0, 1300.0))
+    // relative clause: probe 25% under the gate's own best is dirty even
+    // above the absolute floor
+    assert(!Bench.gateClean(0, 900.0, 1300.0))
+    // slower-but-steady hardware below the floor never passes — the
+    // bounded gate expires and the run proceeds (rule only gates START)
+    assert(!Bench.gateClean(0, 500.0, 500.0))
+    // boundary: exactly at 85% of best and at the floor is clean
+    assert(Bench.gateClean(4, 1105.0, 1300.0))
+  }
 }
