@@ -533,11 +533,13 @@ object Queries {
   val q29_langid: Q = (s, d) =>
     graft.ops.TextAnalysis.languageId(t(s, d, "documents"))
 
-  /** Document fingerprints (rows-only: xxhash64 not in DuckDB), with an
-    * IN-RUN kernel-parity invariant: the native TokenChainHash must equal
-    * the declarative aggregate-HOF spec on a bounded sample — a codegen
-    * regression in the kernel throws here instead of shipping silently
-    * divergent fingerprints.
+  /** Document fingerprints. FULL fixture oracle since round 5: the
+    * rolling hash is not DuckDB-expressible, so the expected output is a
+    * committed parquet fixture computed by an INDEPENDENT public-spec
+    * XXH64 implementation ([[graft.tools.RefXxh64]]) — FixtureGen asserts
+    * exact equality with the kernel before writing. The in-run
+    * kernel-parity invariant below stays as the bench-path collapse
+    * detector (the bench times entries without running oracles).
     */
   val q30_fingerprint: Q = (s, d) => {
     val docs = t(s, d, "documents")
@@ -554,8 +556,12 @@ object Queries {
   /** Multimodal feature-extraction plumbing over a deterministic synthetic
     * media corpus — all three codecs REAL over pure JDK: image via
     * ImageIO, audio via javax.sound, video via the MJPEG-AVI chunk walk.
-    * Rows-only, with an IN-RUN invariant: the synthetic corpus must decode
-    * with zero per-row errors and in-range luma.
+    * FULL fixture oracle since round 5: the expected features are a
+    * committed parquet fixture computed by a serial no-Spark driver loop
+    * (FixtureGen asserts exact equality with the distributed output
+    * before writing), so the hash compare covers the distributed plumbing
+    * end-to-end. The in-run zero-decode-error invariant stays as the
+    * bench-path collapse detector.
     */
   val q31_multimodal: Q = (s, _) => {
     // persisted like its q24/q25/q27/q28 siblings: the invariant count
@@ -1435,6 +1441,20 @@ object Queries {
     "kg_tripleset" ->
       ("SELECT subjName, relType, objName FROM read_parquet('" +
         fixturePath("tools/fixtures/closed_form_triples_400.parquet") + "')"),
+    // q30/q31 fixture oracles (round 5): both entries are EXACTLY
+    // deterministic (unlike the LSH/IVF family), so each is hash-compared
+    // against a committed fixture that FixtureGen refuses to write unless
+    // an independent computation matches exactly — q30 vs a public-spec
+    // XXH64 reimplementation (RefXxh64, NOT Spark's hash), q31 vs a
+    // serial no-Spark driver loop over the same codecs. sf0.01-pinned
+    // like the driver's correctness run (TESTDATA.md: t2 uses sf0.01).
+    "q30_fingerprint" ->
+      ("SELECT doc_id, fingerprint FROM read_parquet('" +
+        fixturePath("tools/fixtures/fingerprints_sf001.parquet") + "')"),
+    "q31_multimodal" ->
+      ("SELECT mediaId, mediaType, nBytes, payloadSha, meanLuma, " +
+        "resizedW, resizedH, nFramesSampled, decodeError FROM read_parquet('" +
+        fixturePath("tools/fixtures/media_features_2000.parquet") + "')"),
     "kg_stats_basic" ->
       """SELECT key, CAST(v AS DOUBLE) AS value_r6 FROM (VALUES
         |  ('nodes', '5.0'), ('edges', '5.0'), ('density', '0.25'),

@@ -3,18 +3,35 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /**
- * Fixture generator for the kg_tripleset DuckDB oracle (round-4 verdict
- * item 5): dumps the independent closed-form expected triple set for the
- * 400-file synthetic corpus to a committed parquet fixture the driver's
- * DuckDB reads via read_parquet(). Also prints the exact diff between the
- * pipeline's triple set and the closed form, so any non-exactness is
- * enumerated (not just summarized as P/R) before the oracle is enabled.
+ * Fixture generator for the fixture-backed DuckDB oracles. Every fixture
+ * is written ONLY after an exact-equality assertion against an
+ * independent computation, so a fixture can never freeze a wrong answer:
+ *
+ *  - kg_tripleset (round-4 verdict item 5): the coref-canonicalized
+ *    closed-form triple set for the 400-file synthetic corpus, asserted
+ *    equal to the pipeline output (the exact diff is printed first).
+ *  - q30 fingerprints (round 5): expected fingerprints for the sf0.01
+ *    `documents` table computed by [[RefXxh64]] — an independent
+ *    public-spec XXH64 implementation, NOT Spark's hash or the
+ *    TokenChainHash kernel under test — asserted equal to the kernel.
+ *  - q31 media features (round 5): expected features for the 2000-row
+ *    synthetic media corpus computed by a SERIAL driver-side reference
+ *    loop (payload gen + codec calls directly, no Spark execution),
+ *    asserted equal to the distributed mapPartitions output — the
+ *    differential covers the distributed plumbing (partitioning,
+ *    serialization, per-partition decoder amortization); the codec
+ *    kernels themselves are pinned separately in MultimodalSpec.
+ *
+ * The q30/q31 fixtures (like the committed testdata they derive from —
+ * TESTDATA.md: deterministic, seed 42, read-only) are environment-pinned:
+ * regenerate via this main if the corpus or the JDK's codecs ever change.
  *
  * Run: sbt 'runMain graft.tools.FixtureGen'
  */
 object FixtureGen {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "tools/fixtures"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = graft.runtime.Sessions
       .configure(SparkSession.builder().master("local[8]"), shufflePartitions = 8)
       .getOrCreate()
@@ -47,16 +64,91 @@ object FixtureGen {
 
     // deterministic single-FILE fixture with a stable name (no per-run
     // UUID part files churning in git), sorted for a stable byte layout
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fixture").toString
-    canon.toSeq.sorted.toDF("subjName", "relType", "objName")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-    val dst = java.nio.file.Paths.get(s"$out/closed_form_triples_400.parquet")
-    java.nio.file.Files.createDirectories(dst.getParent)
-    java.nio.file.Files.copy(part, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"[fixturegen] wrote $dst")
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fixture").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = java.nio.file.Paths.get(s"$out/$name")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"[fixturegen] wrote $dst")
+    }
+    writeSingleFile(
+      canon.toSeq.sorted.toDF("subjName", "relType", "objName"),
+      "closed_form_triples_400.parquet")
+
+    // ---- q30 fingerprint fixture: expected side computed by the
+    // INDEPENDENT public-spec XXH64 fold, then asserted equal to the
+    // native TokenChainHash kernel's distributed output.
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val expectedFp = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), RefXxh64.fingerprint(r.getString(1)))).toSeq
+      val actualFp = graft.ops.TextAnalysis.fingerprints(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val diff = (expectedFp.toSet -- actualFp.toSet) ++ (actualFp.toSet -- expectedFp.toSet)
+      diff.take(10).foreach(t => println(s"[fixturegen] FP-DIFF $t"))
+      require(diff.isEmpty && expectedFp.size == actualFp.size,
+        s"TokenChainHash diverged from the independent XXH64 reference on ${diff.size} docs")
+      writeSingleFile(
+        expectedFp.sortBy(_._1).toDF("doc_id", "fingerprint"),
+        "fingerprints_sf001.parquet")
+    }
+
+    // ---- q31 media-features fixture: expected side computed by a
+    // serial driver-side loop (no Spark execution in the reference path),
+    // then asserted equal to the distributed extractFeatures output.
+    locally {
+      import graft.ops.Multimodal
+      val n = 2000L
+      def refRow(i: Long): Multimodal.MediaRow = {
+        // mirrors Multimodal.syntheticMedia exactly (same Random stream)
+        val rnd = new scala.util.Random(42L ^ i)
+        val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
+        val w = 16 + rnd.nextInt(48)
+        val h = 16 + rnd.nextInt(48)
+        val rateHz = 8000
+        val durMs = 200L + rnd.nextInt(1800)
+        val fps = 5
+        val payload = mt match {
+          case "image" => Multimodal.ImageDecoder.syntheticPng(i, w, h)
+          case "audio" => Multimodal.AudioDecoder.syntheticWav(i, rateHz, durMs)
+          case _ => Multimodal.VideoDecoder.syntheticMjpegAvi(i, w, h,
+            frames = math.max(1, (durMs * fps / 1000).toInt), fps = fps)
+        }
+        Multimodal.MediaRow(i, mt, payload, w, h, rateHz, durMs)
+      }
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def refFeatures(m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+        md.reset()
+        val sha = graft.model.Ids.hex(md.digest(m.payload))
+        // no failure isolation here: the synthetic corpus must decode
+        // cleanly, and a throw at fixture-gen time is the right outcome
+        val (luma, w0, h0, frames) = m.mediaType match {
+          case "image" =>
+            val (l, w, h) = Multimodal.ImageDecoder.decodeMeanLuma(m.payload); (l, w, h, 1)
+          case "audio" =>
+            val (r, _, _) = Multimodal.AudioDecoder.decodeRms(m.payload)
+            (r, m.width, m.height, 1)
+          case _ =>
+            val (l, w, h, fr, _) = Multimodal.VideoDecoder.decodeSampled(m.payload, sampleEvery = 5)
+            (l, w, h, fr)
+        }
+        val (rw, rh) = Multimodal.resizeDims(w0, h0, 224)
+        Multimodal.MediaFeatures(m.mediaId, m.mediaType, m.payload.length.toLong,
+          sha, luma, rw, rh, frames, None)
+      }
+      val expected = (0L until n).map(i => refFeatures(refRow(i)))
+      val actual = Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(spark, n)).collect().toSeq
+      val mDiff = (expected.toSet -- actual.toSet) ++ (actual.toSet -- expected.toSet)
+      mDiff.take(6).foreach(t => println(s"[fixturegen] MEDIA-DIFF $t"))
+      require(mDiff.isEmpty && expected.size == actual.size,
+        s"distributed extractFeatures diverged from the serial reference on ${mDiff.size} rows")
+      writeSingleFile(expected.sortBy(_.mediaId).toDF(), "media_features_2000.parquet")
+    }
     spark.stop()
   }
 }

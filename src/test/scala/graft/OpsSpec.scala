@@ -349,6 +349,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0L) != fp(1L))
   }
 
+  test("independent public-spec XXH64 matches Spark's xxhash64 (fuzzed) and the kernel") {
+    import spark.implicits._
+    // fuzz across the tail-length regimes of the algorithm (0..100 bytes
+    // covers <4, <8, <32 and the 32-byte stripe loop) plus multibyte UTF-8
+    val rnd = new scala.util.Random(4242)
+    val strings = (0 until 200).map { i =>
+      val n = rnd.nextInt(101)
+      new String(Array.fill(n)(
+        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar
+        else "éüжç日🙂 ".charAt(rnd.nextInt(7))))
+    } :+ "" :+ "a" :+ ("x" * 1000)
+    val accs = strings.indices.map(i => rnd.nextLong())
+    val df = strings.zip(accs).zipWithIndex
+      .map { case ((s, a), i) => (i, a, s) }.toDF("i", "acc", "s")
+    val sparkSide = df.select(col("i"), xxhash64(col("acc"), col("s")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    strings.zip(accs).zipWithIndex.foreach { case ((s, a), i) =>
+      assert(graft.tools.RefXxh64.chainStep(a, s) == sparkSide(i),
+        s"XXH64 divergence on i=$i len=${s.length}")
+    }
+    // whole-fingerprint parity: reference fold == native kernel on docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 50)
+    val kernel = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(graft.tools.RefXxh64.fingerprint(r.getString(1)) == kernel(r.getLong(0)))
+    }
+  }
+
   test("NL-vs-code heuristic") {
     import spark.implicits._
     val df = Seq(
