@@ -93,8 +93,10 @@ object Bench {
     * them; on slower-but-clean hardware a too-high floor costs at most
     * the bounded gate wait, never the run).
     */
+  val DefaultCalFloor = 600.0
+
   def gateClean(stealPermille: Long, calMBs: Double, bestCalMBs: Double,
-                calFloor: Double = 600.0): Boolean =
+                calFloor: Double = DefaultCalFloor): Boolean =
     stealPermille < 5 && calMBs >= 0.85 * bestCalMBs && calMBs >= calFloor
 
   private def session(cpus: Int, parts: Int): SparkSession = {
@@ -249,18 +251,23 @@ object Bench {
     locally {
       val gateSec = sys.env.get("SPARK_GRAFT_LAUNCH_GATE").map(_.toInt)
         .getOrElse(if (budgetSec >= 600) 150 else 0)
-      val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "600").toDouble
+      val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR")
+        .map(_.toDouble).getOrElse(DefaultCalFloor)
       if (gateSec > 0) {
         val gateDeadline = System.nanoTime() + gateSec * 1_000_000_000L
         calibrate() // throwaway: warm the hasher so probe 1 isn't JIT-cold
         var bestCal = 0.0
         var go = false
         while (!go && System.nanoTime() < gateDeadline) {
-          val cal = calibrate()
           val (s0, t0) = stealTicks()
           Thread.sleep(6000)
           val (s1, t1) = stealTicks()
           val steal = (s1 - s0) * 1000 / math.max(1, t1 - t0)
+          // cal probe AFTER the steal window, so the launch decision and
+          // the launch moment share one measured window — a steal-
+          // invisible memory-bus episode starting during the sleep
+          // degrades THIS probe instead of slipping past a stale one
+          val cal = calibrate()
           bestCal = math.max(bestCal, cal)
           go = gateClean(steal, cal, bestCal, calFloor)
           if (!go) System.err.println(

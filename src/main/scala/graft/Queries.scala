@@ -1199,6 +1199,15 @@ object Queries {
     kgCache
   }
 
+  /** Oracles whose committed fixture only covers ONE SF of the driver
+    * corpus (the driver's correctness run is always sf0.01; TESTDATA.md).
+    * Verify omits these from oracle_sql.json at any other SF, degrading
+    * to the rows-only check — otherwise a local sf0.001/sf0.1 run fails
+    * the hash compare in a way indistinguishable from a kernel
+    * regression (same row count, different texts).
+    */
+  val sfPinnedOracles: Map[String, String] = Map("q30_fingerprint" -> "sf0.01")
+
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,

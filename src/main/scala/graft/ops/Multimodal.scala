@@ -215,9 +215,13 @@ object Multimodal {
 
     /** Deterministic MJPEG AVI: frame f of clip `id` is the image-pattern
       * formula evaluated at (id*1000+f) and JPEG-encoded — reproducible
-      * bytes for any (id, w, h, frames, fps).
+      * bytes for any (id, w, h, frames, fps). `recGroup > 0` wraps each
+      * group of that many frames in a 'rec ' LIST (the interleaved-muxer
+      * layout real AVIs use), exercising the walker's nested-LIST
+      * document-order path; 0 = flat 00dc chunks.
       */
-    def syntheticMjpegAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+    def syntheticMjpegAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int,
+                          recGroup: Int = 0): Array[Byte] = {
       val jpegs = (0 until frames).map { f =>
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -256,7 +260,12 @@ object Multimodal {
         fourcc("LIST") ++ le32(body.length + 4) ++ fourcc(tpe) ++ body
       val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
       val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
-      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+      val frameChunks = jpegs.map(j => chunk("00dc", j))
+      val moviBody =
+        if (recGroup <= 0) frameChunks.flatten.toArray
+        else frameChunks.grouped(recGroup)
+          .flatMap(g => list("rec ", g.flatten.toArray)).toArray
+      val movi = list("movi", moviBody)
       val body = fourcc("AVI ") ++ hdrl ++ movi
       fourcc("RIFF") ++ le32(body.length) ++ body
     }
@@ -299,21 +308,30 @@ object Multimodal {
           val bodyEnd = bodyStart + size
           require(size >= 0 && bodyEnd <= payload.length, s"chunk $cc overruns payload")
           if (cc == "LIST" && size >= 4) {
-            // descend into hdrl/movi/strl; resume after this list
+            // descend into hdrl/movi/strl/rec BEFORE the rest of this
+            // level: push the continuation first, then the list body, so
+            // the LIFO pop keeps document order — muxers that group
+            // frames in 'rec ' LISTs must sample frames in stream order,
+            // not level-by-level
+            val resume = (bodyEnd + (size % 2)).toInt
+            if (resume < end) stack = (resume, end) :: stack
             stack = ((bodyStart + 4).toInt, bodyEnd.toInt) :: stack
-          } else if (cc == "avih" && size >= 40) {
-            usPerFrame = u32(bodyStart)
-            totalFrames = u32(bodyStart + 16)
-          } else if (cc == "00dc" || cc == "00dj") {
-            if (frameIdx % sampleEvery == 0) {
-              val jpeg = java.util.Arrays.copyOfRange(payload, bodyStart, bodyEnd.toInt)
-              val (l, fw, fh) = ImageDecoder.decodeMeanLuma(jpeg)
-              lumaSum += l; sampled += 1; w = fw; h = fh
+            p = end // this level continues via the pushed continuation
+          } else {
+            if (cc == "avih" && size >= 40) {
+              usPerFrame = u32(bodyStart)
+              totalFrames = u32(bodyStart + 16)
+            } else if (cc == "00dc" || cc == "00dj") {
+              if (frameIdx % sampleEvery == 0) {
+                val jpeg = java.util.Arrays.copyOfRange(payload, bodyStart, bodyEnd.toInt)
+                val (l, fw, fh) = ImageDecoder.decodeMeanLuma(jpeg)
+                lumaSum += l; sampled += 1; w = fw; h = fh
+              }
+              frameIdx += 1
             }
-            frameIdx += 1
+            // chunks are padded to even length
+            p = (bodyEnd + (size % 2)).toInt
           }
-          // chunks are padded to even length
-          p = (bodyEnd + (size % 2)).toInt
         }
       }
       require(sampled > 0, "AVI payload contained no decodable frames")
@@ -330,27 +348,34 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0, n).map { i =>
-      val rnd = new scala.util.Random(seed ^ i)
-      val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
-      val w = 16 + rnd.nextInt(48)
-      val h = 16 + rnd.nextInt(48)
-      // 8 kHz keeps the synthetic WAV payloads at ~3–32 KB so corpus-
-      // scale tests stay cheap; the decoder itself handles any rate
-      val rateHz = 8000
-      val durMs = 200L + rnd.nextInt(1800)
-      // 5 fps MJPEG: 1–9 small JPEG frames per clip (~1–20 KB payloads)
-      val fps = 5
-      val payload = mt match {
-        case "image" => ImageDecoder.syntheticPng(i, w, h)
-        case "audio" => AudioDecoder.syntheticWav(i, rateHz, durMs)
-        case _ =>
-          VideoDecoder.syntheticMjpegAvi(i, w, h,
-            frames = math.max(1, (durMs * fps / 1000).toInt), fps = fps)
-      }
-      MediaRow(i, mt, payload, width = w, height = h,
-        sampleRateHz = rateHz, durationMs = durMs)
+    spark.range(0, n).map(i => syntheticRow(i, seed))
+  }
+
+  /** One synthetic media row — a pure function of (id, seed), shared by
+    * [[syntheticMedia]] and the serial fixture-gen reference path so the
+    * two can never drift (the q31 differential targets the distributed
+    * plumbing, not row generation).
+    */
+  def syntheticRow(i: Long, seed: Long = 42L): MediaRow = {
+    val rnd = new scala.util.Random(seed ^ i)
+    val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
+    val w = 16 + rnd.nextInt(48)
+    val h = 16 + rnd.nextInt(48)
+    // 8 kHz keeps the synthetic WAV payloads at ~3–32 KB so corpus-
+    // scale tests stay cheap; the decoder itself handles any rate
+    val rateHz = 8000
+    val durMs = 200L + rnd.nextInt(1800)
+    // 5 fps MJPEG: 1–9 small JPEG frames per clip (~1–20 KB payloads)
+    val fps = 5
+    val payload = mt match {
+      case "image" => ImageDecoder.syntheticPng(i, w, h)
+      case "audio" => AudioDecoder.syntheticWav(i, rateHz, durMs)
+      case _ =>
+        VideoDecoder.syntheticMjpegAvi(i, w, h,
+          frames = math.max(1, (durMs * fps / 1000).toInt), fps = fps)
     }
+    MediaRow(i, mt, payload, width = w, height = h,
+      sampleRateHz = rateHz, durationMs = durMs)
   }
 
   /** Aspect-preserving resize arithmetic (the metadata side of a resize

@@ -103,23 +103,9 @@ object FixtureGen {
     locally {
       import graft.ops.Multimodal
       val n = 2000L
-      def refRow(i: Long): Multimodal.MediaRow = {
-        // mirrors Multimodal.syntheticMedia exactly (same Random stream)
-        val rnd = new scala.util.Random(42L ^ i)
-        val mt = Seq("image", "audio", "video")(rnd.nextInt(3))
-        val w = 16 + rnd.nextInt(48)
-        val h = 16 + rnd.nextInt(48)
-        val rateHz = 8000
-        val durMs = 200L + rnd.nextInt(1800)
-        val fps = 5
-        val payload = mt match {
-          case "image" => Multimodal.ImageDecoder.syntheticPng(i, w, h)
-          case "audio" => Multimodal.AudioDecoder.syntheticWav(i, rateHz, durMs)
-          case _ => Multimodal.VideoDecoder.syntheticMjpegAvi(i, w, h,
-            frames = math.max(1, (durMs * fps / 1000).toInt), fps = fps)
-        }
-        Multimodal.MediaRow(i, mt, payload, w, h, rateHz, durMs)
-      }
+      // row generation is the SHARED pure function (Multimodal.syntheticRow);
+      // only the feature computation below is the independent serial path
+      def refRow(i: Long): Multimodal.MediaRow = Multimodal.syntheticRow(i)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       def refFeatures(m: Multimodal.MediaRow): Multimodal.MediaFeatures = {
         md.reset()

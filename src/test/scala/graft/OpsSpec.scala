@@ -354,11 +354,17 @@ class TextAnalysisSpec extends SparkSpec {
     // fuzz across the tail-length regimes of the algorithm (0..100 bytes
     // covers <4, <8, <32 and the 32-byte stripe loop) plus multibyte UTF-8
     val rnd = new scala.util.Random(4242)
+    // sample by CODE POINT so the 4-byte UTF-8 emoji is always emitted
+    // whole (never as lone surrogate halves) and the space is reachable
+    val extraCps = "éüжç日🙂 ".codePoints().toArray
     val strings = (0 until 200).map { i =>
       val n = rnd.nextInt(101)
-      new String(Array.fill(n)(
-        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar
-        else "éüжç日🙂 ".charAt(rnd.nextInt(7))))
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach { _ =>
+        if (rnd.nextBoolean()) sb.append(('a' + rnd.nextInt(26)).toChar)
+        else sb.appendCodePoint(extraCps(rnd.nextInt(extraCps.length)))
+      }
+      sb.toString
     } :+ "" :+ "a" :+ ("x" * 1000)
     val accs = strings.indices.map(i => rnd.nextLong())
     val df = strings.zip(accs).zipWithIndex
@@ -561,8 +567,19 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(luma - sum / 7) < 1e-12, s"$luma vs ${sum / 7}")
 
     // stride sampling: every 5th of 7 frames → frames {0, 5} = 2 sampled
-    val (_, _, _, s2, _) = Multimodal.VideoDecoder.decodeSampled(payload, sampleEvery = 5)
+    val (l2, _, _, s2, _) = Multimodal.VideoDecoder.decodeSampled(payload, sampleEvery = 5)
     assert(s2 == 2, s2.toString)
+
+    // 'rec '-grouped frames (the interleaved-muxer layout) must be
+    // sampled in STREAM order: a grouped container selects the SAME
+    // frames as the flat one — a level-by-level walk would visit the
+    // second group first and sample a different (scrambled) set
+    val grouped = Multimodal.VideoDecoder.syntheticMjpegAvi(
+      7L, 16, 12, frames = 7, fps = 5, recGroup = 3)
+    val (lg, wg, hg, sg, dg) =
+      Multimodal.VideoDecoder.decodeSampled(grouped, sampleEvery = 5)
+    assert(wg == 16 && hg == 12 && dg == 1400L && sg == s2, s"$wg $hg $dg $sg")
+    assert(math.abs(lg - l2) < 1e-12, s"$lg vs $l2")
   }
 
   test("corrupt/truncated video payload isolates into decodeError — the stage survives") {
