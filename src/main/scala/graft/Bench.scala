@@ -93,6 +93,29 @@ object Bench {
     * them; on slower-but-clean hardware a too-high floor costs at most
     * the bounded gate wait, never the run).
     */
+  /** Episode kill-switch threshold for a protocol round: once a level
+    * has a banked best, a round running past 3× that best (+30 s floor
+    * against small-round JIT variance) is inside a host episode — its
+    * timing can never win min-of-rounds, and letting it finish eats the
+    * catalog reserve (observed: a 135‰ episode turned a 23 s high round
+    * into 265 s and the deadline then skipped ALL 54 catalog entries).
+    * None (no banked best at that level) → 0 = never abort: with no
+    * baseline a slow-but-clean host is indistinguishable from an
+    * episode, and the first round is the only shot at a baseline.
+    */
+  def abortAfterSec(bestAtLevelSec: Option[Double]): Double =
+    bestAtLevelSec.map(b => 3.0 * b + 30.0).getOrElse(0.0)
+
+  /** Mid-pair guard for OPTIONAL pairs (clean-round retries and the
+    * fast-window min-of-3): the pair was affordable when scheduled, but
+    * an episode can blow its HIGH round past the estimate — only start
+    * the low round if the remaining budget still covers it plus the
+    * catalog reserve. The banked two-level signal is already complete;
+    * a missing optional low round costs nothing.
+    */
+  def affordsLowRound(remainingSec: Double, lastLowSec: Double): Boolean =
+    remainingSec > lastLowSec * 1.3 + 260.0
+
   val DefaultCalFloor = 600.0
 
   def gateClean(stealPermille: Long, calMBs: Double, bestCalMBs: Double,
@@ -152,16 +175,65 @@ object Bench {
     * JVM-wide and survives session churn, so interleaved H/L rounds are
     * equally warm — round-2 lesson: a per-level warmup leaves the FIRST
     * level measured under-compiled and biases efficiency either way).
+    * `abortAfter > 0` arms the episode kill-switch ([[abortAfterSec]]):
+    * a daemon thread cancels the round's jobs past the threshold and the
+    * round returns None (counted, never silently dropped).
     */
-  private def timedRound(cpus: Int, parts: Int, files: Long)
-      : (Double, Double, Long, Long, Seq[(String, Double)]) = {
+  /** Run `body` with the episode kill-switch armed: jobs launched by the
+    * calling thread are tagged with a unique job group, and a daemon
+    * thread cancels that group (repeatedly — a cancel landing between
+    * the pipeline's actions must also catch the next action's fresh job)
+    * once `abortAfter` seconds elapse. Returns None iff aborted; any
+    * non-abort failure propagates — a real bug must not read as an
+    * episode. Group-scoped so a shared session's other work (tests, the
+    * catalog) is never touched.
+    */
+  private[graft] def withAbort[T](spark: SparkSession, abortAfter: Double)(body: => T): Option[T] = {
+    if (abortAfter <= 0) return Some(body)
+    val sc = spark.sparkContext
+    val group = s"graft-bench-round-${System.nanoTime()}"
+    sc.setJobGroup(group, "graft bench protocol round", interruptOnCancel = true)
+    @volatile var aborted = false
+    val killer = new Thread(() => {
+      try {
+        val dl = System.nanoTime() + (abortAfter * 1e9).toLong
+        while (System.nanoTime() < dl) Thread.sleep(250)
+        aborted = true
+        while (true) { sc.cancelJobGroup(group); Thread.sleep(1000) }
+      } catch { case _: Throwable => () }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    try Some(body)
+    catch {
+      case e: Throwable if aborted =>
+        System.err.println(
+          f"[bench] episode kill-switch fired after $abortAfter%.0f s: ${e.getClass.getSimpleName}")
+        None
+    } finally {
+      killer.interrupt()
+      sc.clearJobGroup()
+    }
+  }
+
+  private def timedRound(cpus: Int, parts: Int, files: Long,
+                         abortAfter: Double = 0.0)
+      : Option[(Double, Double, Long, Long, Seq[(String, Double)])] = {
     val spark = session(cpus, parts)
     val cal = calibrate()
-    val (dt, triples, steal, stages) = kgRun(spark, files)
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (dt, cal, steal, triples, stages)
+    try {
+      val r = withAbort(spark, abortAfter) {
+        val (dt, triples, steal, stages) = kgRun(spark, files)
+        (dt, cal, steal, triples, stages)
+      }
+      if (r.isEmpty) System.err.println(
+        f"[bench] round at local[$cpus] aborted (ran past 3x the level's best — host episode); min-of-rounds keeps the banked best")
+      r
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -288,8 +360,12 @@ object Bench {
     val highStages = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
     val lowStages = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
     var triples = 0L
+    var highAborts = 0
+    var lowAborts = 0
+    def abortsJson: String =
+      s""""abortedRounds":{"high":$highAborts,"low":$lowAborts}"""
     def partialKg(): String =
-      s"""{"files":$kgFiles,"triples":$triples,""" +
+      s"""{"files":$kgFiles,"triples":$triples,$abortsJson,""" +
       s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},"scaling":null}"""
     locally {
       val warm = session(high, parts)
@@ -358,19 +434,41 @@ object Bench {
         val eff = (sl / sh) / (high.toDouble / low)
         s""""$sn":{"secHigh":${f"$sh%.3f"},"secLow":${f"$sl%.3f"},"efficiency":${f"$eff%.3f"}}"""
       }.mkString("{", ",", "}")
-      s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},""" +
+      s"""{"files":$kgFiles,"triples":$triples,"wallSecHigh":${f"$tHigh%.3f"},$abortsJson,""" +
         s""""roundsHigh":${arr(highRounds.toSeq)},"roundsLow":${arr(lowRounds.toSeq)},""" +
         s""""scaling":{"cpusLow":$low,"cpusHigh":$high,"shufflePartitions":$parts,""" +
         s""""triplesPerSecLow":${f"$tpsLow%.1f"},"triplesPerSecHigh":${f"$tpsHigh%.1f"},""" +
         s""""efficiency":${f"$efficiency%.3f"},"stages":$stagesJson}}"""
     }
-    def onePair(): Unit = {
-      val (hd, hc, hs, t1, hst) = timedRound(high, parts, kgFiles)
-      highRounds += ((hd, hc, hs)); highStages += hst; triples = t1
-      jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
-      val (ld, lc, ls, _, lst) = timedRound(low, parts, kgFiles)
-      lowRounds += ((ld, lc, ls)); lowStages += lst
-      jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
+    // a pair after the first arms the episode kill-switch per level (the
+    // banked best is the baseline); an OPTIONAL pair (everything past
+    // pair 1 — its signal is a bonus, the two-level measurement is
+    // already complete) additionally skips its low round when the high
+    // round was aborted or the remaining budget would no longer cover
+    // low + the catalog reserve
+    def onePair(optional: Boolean): Unit = {
+      val highBest = if (highRounds.isEmpty) None else Some(highRounds.map(_._1).min)
+      var highAborted = false
+      timedRound(high, parts, kgFiles, abortAfterSec(highBest)) match {
+        case Some((hd, hc, hs, t1, hst)) =>
+          highRounds += ((hd, hc, hs)); highStages += hst; triples = t1
+          jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
+        case None => highAborts += 1; highAborted = true
+      }
+      val lastLow = lowRounds.lastOption.map(_._1).getOrElse(0.0)
+      if (optional && (highAborted || !affordsLowRound(remaining(), lastLow))) {
+        System.err.println(
+          f"[bench] optional pair: low round skipped (${if (highAborted) "high round aborted in an episode" else f"${remaining()}%.0f s left would eat the catalog reserve"})")
+      } else {
+        val lowBest = if (lowRounds.isEmpty) None else Some(lowRounds.map(_._1).min)
+        timedRound(low, parts, kgFiles, abortAfterSec(lowBest)) match {
+          case Some((ld, lc, ls, _, lst)) =>
+            lowRounds += ((ld, lc, ls)); lowStages += lst
+          case None => lowAborts += 1
+        }
+      }
+      if (highRounds.nonEmpty)
+        jsonRef.set(assemble(kgJson(), Nil, highRounds.map(_._1).min))
     }
     // scheduled pairs beyond the first are budget-guarded like the
     // adaptive extras: the schedule was sized from the WARMUP estimate,
@@ -379,9 +477,9 @@ object Bench {
     // consumes the catalog reserve — a complete two-level measurement is
     // already banked at that point, and 54 skipped catalog entries is a
     // worse artifact than min-of-1 rounds
-    onePair()
+    onePair(optional = false)
     (2 to rounds).foreach { _ =>
-      if (affordsPair(remaining(), lastPairCost)) onePair()
+      if (affordsPair(remaining(), lastPairCost)) onePair(optional = true)
     }
     // extra interleaved pairs, two triggers (round-4 verdict item 1b):
     //  - RETRY-FOR-CLEAN-ROUND, symmetric over BOTH levels: round 4's
@@ -404,9 +502,9 @@ object Bench {
     def lastPairCost: Double = highRounds.last._1 + lowRounds.last._1
     var extra = 0
     while (extra < 2 && anyLevelDirty && remaining() > lastPairCost * 1.5 + 240) {
-      onePair(); extra += 1
+      onePair(optional = true); extra += 1
     }
-    if (extra == 0 && remaining() > lastPairCost * 1.5 + 240) onePair()
+    if (extra == 0 && remaining() > lastPairCost * 1.5 + 240) onePair(optional = true)
     val tHigh = highRounds.map(_._1).min
     val kg = kgJson()
     jsonRef.set(assemble(kg, Nil, tHigh))

@@ -54,6 +54,46 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.affordsPair(remainingSec = 260.0, lastPairSec = 0.1))
   }
 
+  test("episode kill-switch: a round past 3x the level's banked best is aborted") {
+    // the observed failure: best high 23.38 s, then a 135‰ episode round
+    // ran 265.85 s and its trailing low + the whole catalog were skipped
+    val threshold = Bench.abortAfterSec(Some(23.38))
+    assert(threshold > 0 && 265.85 > threshold, s"threshold=$threshold")
+    // a healthy repeat round is never near the threshold
+    assert(25.0 < threshold)
+    // small rounds: the +30 s floor absorbs JIT variance (an 8 s best
+    // must not abort a 20 s second round)
+    assert(20.0 < Bench.abortAfterSec(Some(8.0)))
+    // no banked best at the level → never abort (a slow-but-clean host
+    // is indistinguishable from an episode without a baseline)
+    assert(Bench.abortAfterSec(None) == 0.0)
+  }
+
+  test("optional pair's low round is skipped when it would eat the catalog reserve") {
+    // after the observed 265 s episode round ~200 s remained; last low
+    // was 83 s — running it skipped all 54 catalog entries
+    assert(!Bench.affordsLowRound(remainingSec = 200.0, lastLowSec = 83.0))
+    // healthy fast window: plenty of room
+    assert(Bench.affordsLowRound(remainingSec = 700.0, lastLowSec = 75.0))
+    // the reserve alone is never enough
+    assert(!Bench.affordsLowRound(remainingSec = 260.0, lastLowSec = 0.1))
+  }
+
+  test("kill-switch is scoped to its job group: a shared session's other work survives") {
+    val spark = TestSpark.spark
+    // a job that runs far longer than the 0.5 s threshold
+    val res = Bench.withAbort(spark, 0.5) {
+      spark.range(0, 1L << 35).selectExpr("sum(id % 7)").collect()
+    }
+    assert(res.isEmpty, "long round must be aborted")
+    // the session is untouched: later jobs on it run normally
+    assert(spark.range(10).count() == 10)
+    // a generous threshold lets a quick round complete
+    assert(Bench.withAbort(spark, 300.0) { spark.range(5).count() } == Some(5L))
+    // unarmed (no banked best) never aborts
+    assert(Bench.withAbort(spark, 0.0) { 42 } == Some(42))
+  }
+
   test("launch gate: clean window requires low steal AND a healthy calMBs probe") {
     // clean: 0‰ steal, probe at the run's best and above the floor
     assert(Bench.gateClean(0, 1252.0, 1252.0))
