@@ -171,14 +171,6 @@ object Bench {
     (dt, triples, (s1 - s0) * 1000 / math.max(1, t1ticks - t0ticks), staged.stageSec)
   }
 
-  /** One timed round at one level in a fresh session (JIT state is
-    * JVM-wide and survives session churn, so interleaved H/L rounds are
-    * equally warm — round-2 lesson: a per-level warmup leaves the FIRST
-    * level measured under-compiled and biases efficiency either way).
-    * `abortAfter > 0` arms the episode kill-switch ([[abortAfterSec]]):
-    * a daemon thread cancels the round's jobs past the threshold and the
-    * round returns None (counted, never silently dropped).
-    */
   /** Run `body` with the episode kill-switch armed: jobs launched by the
     * calling thread are tagged with a unique job group, and a daemon
     * thread cancels that group (repeatedly — a cancel landing between
@@ -216,6 +208,14 @@ object Bench {
     }
   }
 
+  /** One timed round at one level in a fresh session (JIT state is
+    * JVM-wide and survives session churn, so interleaved H/L rounds are
+    * equally warm — round-2 lesson: a per-level warmup leaves the FIRST
+    * level measured under-compiled and biases efficiency either way).
+    * `abortAfter > 0` arms the episode kill-switch ([[abortAfterSec]]):
+    * the round's jobs are cancelled past the threshold and the round
+    * returns None (counted by the caller, never silently dropped).
+    */
   private def timedRound(cpus: Int, parts: Int, files: Long,
                          abortAfter: Double = 0.0)
       : Option[(Double, Double, Long, Long, Seq[(String, Double)])] = {
