@@ -73,6 +73,12 @@ object Bench {
     (kgFiles, rounds, rounds * estPair + reserve + warm2Est < remainingSec)
   }
 
+  /** One shared catalog-reserve figure for every budget rule — the
+    * observed full-catalog cost (~82 s for 54 entries) plus retry and
+    * shutdown margin; independent literals drift apart on retune.
+    */
+  val CatalogReserveSec = 260.0
+
   /** Pure budget rule (unit-tested — BenchSpec): may a further protocol
     * pair start without eating the catalog reserve? Applied to every
     * scheduled pair beyond the first — the schedule was sized from the
@@ -81,18 +87,9 @@ object Bench {
     * predictor at decision time.
     */
   def affordsPair(remainingSec: Double, lastPairSec: Double,
-                  reserveSec: Double = 260.0): Boolean =
+                  reserveSec: Double = CatalogReserveSec): Boolean =
     remainingSec > lastPairSec * 1.15 + reserveSec
 
-  /** Pure launch-gate rule (unit-tested — BenchSpec): is this sampled
-    * window clean enough to START the protocol? Clean = steal under 5‰
-    * AND the calMBs probe at or above BOTH (a) 85% of the best probe
-    * seen during the gate and (b) an absolute floor screening the
-    * steal-invisible memory-bus episodes this host shows (BASELINE.md:
-    * calMBs 187–479 during episodes vs 1100–1350 clean — 600 splits
-    * them; on slower-but-clean hardware a too-high floor costs at most
-    * the bounded gate wait, never the run).
-    */
   /** Episode kill-switch threshold for a protocol round: once a level
     * has a banked best, a round running past 3× that best (+30 s floor
     * against small-round JIT variance) is inside a host episode — its
@@ -114,10 +111,19 @@ object Bench {
     * a missing optional low round costs nothing.
     */
   def affordsLowRound(remainingSec: Double, lastLowSec: Double): Boolean =
-    remainingSec > lastLowSec * 1.3 + 260.0
+    remainingSec > lastLowSec * 1.3 + CatalogReserveSec
 
   val DefaultCalFloor = 600.0
 
+  /** Pure launch-gate rule (unit-tested — BenchSpec): is this sampled
+    * window clean enough to START the protocol? Clean = steal under 5‰
+    * AND the calMBs probe at or above BOTH (a) 85% of the best probe
+    * seen during the gate and (b) an absolute floor screening the
+    * steal-invisible memory-bus episodes this host shows (BASELINE.md:
+    * calMBs 187–479 during episodes vs 1100–1350 clean — 600 splits
+    * them; on slower-but-clean hardware a too-high floor costs at most
+    * the bounded gate wait, never the run).
+    */
   def gateClean(stealPermille: Long, calMBs: Double, bestCalMBs: Double,
                 calFloor: Double = DefaultCalFloor): Boolean =
     stealPermille < 5 && calMBs >= 0.85 * bestCalMBs && calMBs >= calFloor
@@ -188,17 +194,29 @@ object Bench {
     @volatile var aborted = false
     val killer = new Thread(() => {
       try {
-        val dl = System.nanoTime() + (abortAfter * 1e9).toLong
-        while (System.nanoTime() < dl) Thread.sleep(250)
+        Thread.sleep((abortAfter * 1000).toLong)
         aborted = true
         while (true) { sc.cancelJobGroup(group); Thread.sleep(1000) }
       } catch { case _: Throwable => () }
     })
     killer.setDaemon(true)
     killer.start()
+    // only a CANCELLATION is an abort: a genuine failure thrown after the
+    // deadline (invariant violation, OOM, disk full) must still propagate
+    // — a correctness regression must never read as a host episode
+    def isCancellation(t: Throwable): Boolean = {
+      var cur = t; var depth = 0
+      while (cur != null && depth < 10) {
+        val m = cur.getMessage
+        if (m != null && (m.contains(group) || m.toLowerCase.contains("cancel")))
+          return true
+        cur = cur.getCause; depth += 1
+      }
+      false
+    }
     try Some(body)
     catch {
-      case e: Throwable if aborted =>
+      case scala.util.control.NonFatal(e) if aborted && isCancellation(e) =>
         System.err.println(
           f"[bench] episode kill-switch fired after $abortAfter%.0f s: ${e.getClass.getSimpleName}")
         None

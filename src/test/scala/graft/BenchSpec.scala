@@ -92,6 +92,12 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.withAbort(spark, 300.0) { spark.range(5).count() } == Some(5L))
     // unarmed (no banked best) never aborts
     assert(Bench.withAbort(spark, 0.0) { 42 } == Some(42))
+    // a GENUINE failure past the deadline still propagates — only a
+    // cancellation may read as an episode abort
+    val boom = intercept[RuntimeException] {
+      Bench.withAbort(spark, 0.2) { Thread.sleep(600); throw new RuntimeException("real bug") }
+    }
+    assert(boom.getMessage == "real bug")
   }
 
   test("launch gate: clean window requires low steal AND a healthy calMBs probe") {
