@@ -128,6 +128,41 @@ object Bench {
                 calFloor: Double = DefaultCalFloor): Boolean =
     stealPermille < 5 && calMBs >= 0.85 * bestCalMBs && calMBs >= calFloor
 
+  /** One COMPACT machine-parsable line distilled from the full bench JSON
+    * (round-5 verdict item 1: the full line outgrew the driver's capture
+    * window and the official record of the headline efficiency became a
+    * truncated string a human must eyeball). Extraction is regex over a
+    * string THIS class assembled with fixed field order — not a general
+    * JSON parser. Absent sections (watchdog fired before scaling landed)
+    * surface as null, never as a crash: the summary must always print.
+    */
+  private[graft] def compactSummary(full: String): String = {
+    def num(field: String): String =
+      ("\"" + field + "\":(-?[0-9][0-9.eE+-]*)").r
+        .findFirstMatchIn(full).map(_.group(1)).getOrElse("null")
+    def countEntries(field: String): Int =
+      ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(full)
+        .map(m => if (m.group(1).trim.isEmpty) 0 else m.group(1).count(_ == ':'))
+        .getOrElse(0)
+    def countArr(field: String): Int =
+      ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(full)
+        .map(m => if (m.group(1).trim.isEmpty) 0 else m.group(1).count(_ == ',') + 1)
+        .getOrElse(0)
+    val aborted = "\"abortedRounds\":(\\{[^}]*\\})".r
+      .findFirstMatchIn(full).map(_.group(1)).getOrElse("null")
+    val sf = "\"sf\":\"([^\"]*)\"".r
+      .findFirstMatchIn(full).map(m => "\"" + m.group(1) + "\"").getOrElse("null")
+    s"""{"metric":"summary","value":${num("value")},"unit":"sec",""" +
+      s""""efficiency":${num("efficiency")},""" +
+      s""""triplesPerSecHigh":${num("triplesPerSecHigh")},""" +
+      s""""triplesPerSecLow":${num("triplesPerSecLow")},""" +
+      s""""files":${num("files")},"triples":${num("triples")},""" +
+      s""""wallSecHigh":${num("wallSecHigh")},""" +
+      s""""queriesTimed":${countEntries("queries")},""" +
+      s""""failedCount":${countArr("failed")},"skippedCount":${countArr("skipped")},""" +
+      s""""abortedRounds":$aborted,"sf":$sf,"fullJson":"BENCH_FULL.json"}"""
+  }
+
   private def session(cpus: Int, parts: Int): SparkSession = {
     val s = graft.runtime.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = parts)
@@ -201,15 +236,19 @@ object Bench {
     })
     killer.setDaemon(true)
     killer.start()
-    // only a CANCELLATION is an abort: a genuine failure thrown after the
-    // deadline (invariant violation, OOM, disk full) must still propagate
-    // — a correctness regression must never read as a host episode
+    // only THIS group's cancellation is an abort: a genuine failure thrown
+    // after the deadline (invariant violation, OOM, disk full) must still
+    // propagate — a correctness regression must never read as a host
+    // episode. Match the unique job-group id in the message chain (Spark's
+    // cancelJobGroup failure reads "...cancelled [as] part of cancelled job
+    // group <id>") — a bare substring "cancel" would also swallow a real
+    // task failure whose wrapped message merely mentions cancellation
+    // (round-5 advice).
     def isCancellation(t: Throwable): Boolean = {
       var cur = t; var depth = 0
       while (cur != null && depth < 10) {
         val m = cur.getMessage
-        if (m != null && (m.contains(group) || m.toLowerCase.contains("cancel")))
-          return true
+        if (m != null && m.contains(group)) return true
         cur = cur.getCause; depth += 1
       }
       false
@@ -290,7 +329,19 @@ object Bench {
     val printed = new AtomicBoolean(false)
     def emit(exit: Boolean): Unit =
       if (printed.compareAndSet(false, true)) {
-        println(jsonRef.get())
+        val full = jsonRef.get()
+        println(full)
+        // the full line (catalog + per-entry host stamps + round arrays)
+        // outgrew the driver's stdout capture window two rounds running
+        // ("parsed": null — the official headline number survived only as
+        // a truncated tail string), so the artifact is ALSO (a) written to
+        // a stable file and (b) followed by one COMPACT summary line that
+        // always fits a tail capture and carries the headline numbers
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write BENCH_FULL.json: $e") }
+        println(compactSummary(full))
         System.out.flush()
         if (exit) Runtime.getRuntime.halt(0)
       }
@@ -339,8 +390,15 @@ object Bench {
     // protocol run measured 0.838 efficiency vs 0.64–0.69 for ungated
     // runs of the same binary the same afternoon (BASELINE.md round 5).
     locally {
+      // bounded wait sized to the budget (round-5 verdict item 2: the
+      // official run launched into a contended window the 150 s gate
+      // couldn't outlast; the archived clean-window runs measured 0.838
+      // vs the official 0.765). At the default 960 s budget the schedule
+      // needs ≈ 560 s (2 pairs + warmups + catalog reserve) — up to 300 s
+      // of gate wait costs nothing; below 600 s the gate never pays.
       val gateSec = sys.env.get("SPARK_GRAFT_LAUNCH_GATE").map(_.toInt)
-        .getOrElse(if (budgetSec >= 600) 150 else 0)
+        .getOrElse(
+          if (budgetSec >= 900) 300 else if (budgetSec >= 600) 150 else 0)
       val calFloor = sys.env.get("SPARK_GRAFT_CAL_FLOOR")
         .map(_.toDouble).getOrElse(DefaultCalFloor)
       if (gateSec > 0) {

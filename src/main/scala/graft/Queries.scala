@@ -341,8 +341,16 @@ object Queries {
                          hit: Long, total: Long, floor: Double,
                          detail: String): Unit = {
     val recall = if (total == 0) 1.0 else hit.toDouble / total
-    graft.runtime.Observed.record(gate + "_recall_loss",
+    // recordLast: a GAUGE ("this run's loss"), not an additive drop
+    // counter — Observed.record mints #n entries the prefix-sum reads
+    // aggregate, so running the same query twice in one JVM (bench
+    // dirty-window retry, test suites) would report a cumulative loss
+    // that can exceed 1000‰ (round-5 advice)
+    graft.runtime.Observed.recordLast(gate + "_recall_loss",
       Map("lossPermille" -> math.round((1.0 - recall) * 1000)))
+    if (recall < 1.0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"$gate recall $recall%.3f (loss ${math.round((1.0 - recall) * 1000)}‰)")
     if (recall >= floor) return
     // observe metrics are harvested by an ASYNC QueryExecutionListener —
     // without a drain, the cap drops of the very query under test can

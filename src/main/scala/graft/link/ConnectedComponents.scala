@@ -161,7 +161,11 @@ object ConnectedComponents {
     pairs.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      // UTF-8 order, not String.< (UTF-16): the distributed min() labels
+      // components in Spark's binary order — see graft.runtime.Utf8Order
+      if (ra != rb) {
+        if (graft.runtime.Utf8Order.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
     val rows = parent.keys.toSeq.map(k => (k, find(k)))
     // min-id labeling: find-root with a<b union keeps the min as root

@@ -118,7 +118,10 @@ object Linker {
     rows.foreach { case (id, name, etype) =>
       (Seq(squash(name)) ++ acronymKey(name)).distinct.foreach { k =>
         blocks.getOrElseUpdate((k, etype),
-          scala.collection.mutable.TreeMap.empty[String, String])
+          // UTF-8 id order: the window cap's ORDER BY id is Spark binary
+          // order, and the TreeMap's iteration order IS the cap rule here
+          scala.collection.mutable.TreeMap.empty[String, String](
+            graft.runtime.Utf8Order))
           .update(id, name)
       }
     }

@@ -95,11 +95,26 @@ object CheckpointedPipeline {
       linked().rewrite
     }
 
+    // SEMANTIC-VERSION marker for the edge format (round-5 advice, medium):
+    // since round 5, GraphBuilder.build attaches CANONICAL names to
+    // srcName/dstName inside its endpoint joins; pre-change commits carry
+    // the extraction-time SURFACE names. 08_triple_set below projects the
+    // name columns straight off 07_edges — resuming a legacy checkpoint dir
+    // through that projection would silently emit surface-name triples
+    // (e.g. knowledge_graph instead of KnowledgeGraph), diverging from both
+    // old and new full runs. The marker is written iff THIS code committed
+    // the stage; a committed 07_edges without it is legacy, and 08 then
+    // recomputes canonical names via the node join (the pre-change plan).
+    val edgesFormatPath = java.nio.file.Paths.get(s"$root/07_edges/_FORMAT.json")
+    val edgesWereCommitted = cp.isCommitted("07_edges")
     val edges = cp.runStageBucketed("07_edges",
       Seq("03_triples", "05_nodes", "06_rewrite"), bucketCol = "srcId") {
       val redirected = Linker.redirectEdges(triples.as[Triple], rewrite)
       GraphBuilder.build(nodes.as[Entity], redirected).edges.toDF()
     }
+    if (!edgesWereCommitted)
+      Checkpoint.writeAtomic(edgesFormatPath, """{"edgeNames":"canonical","version":2}""")
+    val edgeNamesCanonical = java.nio.file.Files.exists(edgesFormatPath)
 
     // DUAL-SORT-ORDER edge copy (round-4 verdict item 2): the same edge
     // rows committed a second time, bucketed on dstId, so every
@@ -113,15 +128,28 @@ object CheckpointedPipeline {
     }
 
     cp.runStage("08_triple_set", Seq("07_edges")) {
-      // ZERO-join triple set: build attached canonical srcName/dstName
-      // inside its endpoint joins, so this stage is a bucketed scan + one
-      // distinct aggregate (PlanSpec pins: no join, single exchange).
-      // Round 4 carried a dstId re-shuffle of the joined rows here — the
-      // pipeline's last read-path exchange; it no longer exists.
-      edges
-        .select(col("srcName").as("subjName"), col("relType"),
-          col("dstName").as("objName"))
-        .distinct()
+      if (edgeNamesCanonical) {
+        // ZERO-join triple set: build attached canonical srcName/dstName
+        // inside its endpoint joins, so this stage is a bucketed scan + one
+        // distinct aggregate (PlanSpec pins: no join, single exchange).
+        // Round 4 carried a dstId re-shuffle of the joined rows here — the
+        // pipeline's last read-path exchange; it no longer exists.
+        edges
+          .select(col("srcName").as("subjName"), col("relType"),
+            col("dstName").as("objName"))
+          .distinct()
+      } else {
+        // legacy 07_edges commit (surface names): recompute canonical names
+        // via the node join, exactly the pre-change plan — converges with
+        // what a fresh full run of the new code produces
+        edges
+          .join(nodes.select(col("id").as("srcId"), col("name").as("subjName")),
+            Seq("srcId"))
+          .join(nodes.select(col("id").as("dstId"), col("name").as("objName")),
+            Seq("dstId"))
+          .select(col("subjName"), col("relType"), col("objName"))
+          .distinct()
+      }
     }
   }
 }

@@ -212,14 +212,17 @@ object GraphQueryOps {
           depth += 1
         }
         if (!blown) {
-          // Spark array<string> ordering: element-wise, then by length
+          // Spark array<string> ordering: element-wise UTF-8 BINARY order
+          // (graft.runtime.Utf8Order — String.compareTo is UTF-16 code-unit
+          // order, which diverges for supplementary characters), then by
+          // length; the distributed twin sorts with Spark's own comparator
           implicit val pathOrd: Ordering[Vector[String]] =
             new Ordering[Vector[String]] {
               def compare(a: Vector[String], b: Vector[String]): Int = {
                 val it = a.iterator.zip(b.iterator)
                 while (it.hasNext) {
                   val (x, y) = it.next()
-                  val c = x.compareTo(y)
+                  val c = graft.runtime.Utf8Order.compare(x, y)
                   if (c != 0) return c
                 }
                 a.length.compareTo(b.length)
@@ -234,16 +237,23 @@ object GraphQueryOps {
       }
     }
 
-    // ---- distributed loop: one job per depth (persist + observed counts)
+    // ---- distributed loop: one job per depth (persist + observed counts),
+    // plus one BOUNDED collect job per hit depth. Hit paths are harvested
+    // incrementally — depth is the PRIMARY sort key of the result order, so
+    // per-depth top-(maxPaths − collected) by path gives exactly the global
+    // (depth, path) top-maxPaths — which lets every frontier cache be
+    // released as soon as the next depth is materialized (round-5 advice:
+    // the old lazy found-union pinned up to maxDepth cached frontiers in
+    // executor memory across subsequent queries).
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
-    var paths = Seq((Array(srcId), srcId)).toDF("path", "last")
-    var found = Seq.empty[Seq[String]].toDF("path")
+    var frontier = Seq((Array(srcId), srcId)).toDF("path", "last")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Int)]
+    var prevCache: Option[DataFrame] = None
     var depth = 0
-    var totalHits = 0L
     var frontierNonEmpty = true
-    while (depth < maxDepth && frontierNonEmpty) {
-      val stepped = paths.join(adjDf, Seq("last"))
+    while (depth < maxDepth && frontierNonEmpty && collected.size < maxPaths) {
+      val stepped = frontier.join(adjDf, Seq("last"))
         .where(!array_contains($"path", $"next"))
         .select(concat($"path", array($"next")).as("path"), $"next".as("last"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,16 +264,21 @@ object GraphQueryOps {
       val m = obs.get
       val hits = m("hits").asInstanceOf[Long]
       val n = m("n").asInstanceOf[Long]
-      found = found.union(stepped.where($"last" === dstId).select($"path"))
-      paths = stepped.where($"last" =!= dstId)
-      totalHits += hits
+      // the previous depth's cache fed this join; it is dead now
+      prevCache.foreach(_.unpersist(blocking = false))
+      if (hits > 0) {
+        val want = maxPaths - collected.size
+        collected ++= stepped.where($"last" === dstId).select($"path")
+          .orderBy(asc("path")).limit(want).collect()
+          .map(r => (r.getSeq[String](0), depth + 1))
+      }
+      frontier = stepped.where($"last" =!= dstId)
+      prevCache = Some(stepped)
       frontierNonEmpty = n - hits > 0
       depth += 1
-      // early exit when enough paths found (observed, not a second action)
-      if (totalHits >= maxPaths) depth = maxDepth
     }
-    found.withColumn("depth", size($"path") - 1)
-      .orderBy(asc("depth"), asc("path")).limit(maxPaths)
+    prevCache.foreach(_.unpersist(blocking = false))
+    collected.toSeq.toDF("path", "depth")
   }
 
   /** Q5 search_text — regex over name/context/attribute values, optional

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.GraphQueryOps
+
+/** Round-6 pins: UTF-8 binary ordering in the driver fast paths ≡ Spark's
+  * own string order (incl. supplementary code points, where UTF-16
+  * `String.compareTo` diverges); findPath's distributed loop releases its
+  * frontier caches; the legacy 07_edges resume recomputes canonical names
+  * via the node join; the bench compact summary line is machine-parsable.
+  */
+class Utf8OrderSpec extends SparkSpec {
+
+  // U+1F600 (supplementary: UTF-16 surrogate pair D83D DE00) vs U+F000
+  // (private-use BMP char): UTF-16 code-unit order puts the surrogate
+  // FIRST, UTF-8/code-point order puts the supplementary char LAST —
+  // the exact divergence class round-5 advice flagged
+  private val Supp = new String(Character.toChars(0x1F600))
+  private val Pua = new String(Character.toChars(0xF000))
+
+  test("Utf8Order ≡ Spark string sort including supplementary code points") {
+    import spark.implicits._
+    val ids = Seq(Supp, Pua, "a", "z", "é", "�",
+      "ab", "a" + Supp, "a" + Pua, "")
+    val sparkOrder = ids.toDF("s").orderBy("s").as[String].collect().toList
+    val utf8Order = ids.sorted(graft.runtime.Utf8Order).toList
+    val utf16Order = ids.sorted.toList
+    assert(utf8Order == sparkOrder)
+    assert(utf16Order != sparkOrder,
+      "fixture must actually exercise the UTF-16/UTF-8 divergence")
+  }
+
+  test("CC driver union-find min-id labels ≡ distributed on supplementary ids") {
+    import spark.implicits._
+    // the Supp/Pua component contains ONLY non-ASCII ids, so its min-id
+    // label is decided exactly where UTF-16 and UTF-8 orders disagree
+    val df = Seq((Supp, Pua), (Supp, Supp + "x"), ("b", "a")).toDF("src", "dst")
+    def m(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val driver = m(graft.link.ConnectedComponents.run(df))
+    val dist = m(graft.link.ConnectedComponents.run(df, driverThreshold = 0))
+    assert(driver == dist)
+    // the component min under UTF-8 order is the PUA char, NOT the
+    // surrogate-encoded supplementary one (UTF-16 would pick the latter)
+    assert(driver(Supp) == Pua && driver(Supp + "x") == Pua)
+  }
+
+  test("findPath driver ≡ distributed when path order hinges on supplementary ids") {
+    import spark.implicits._
+    val ids = Seq("s", Supp, Pua, "t")
+    val nodes = ids.map(i => graft.model.Entity(i, i, "t", None,
+      Map.empty, 1.0, "", "", "", "")).toDS()
+    val edges = Seq(("e1", "s", Supp), ("e2", "s", Pua),
+      ("e3", Supp, "t"), ("e4", Pua, "t"))
+      .map { case (id, a, b) => graft.model.Triple(id, a, b, "", "", "r",
+        None, bidirectional = false, 1.0, 1.0, "") }.toDS()
+    val g = graft.graphout.GraphBuilder.Graph(nodes, edges)
+    def one(driverLimit: Long) =
+      GraphQueryOps.findPath(g, "s", "t", maxPaths = 1, driverLimit = driverLimit)
+        .collect().map(_.getAs[scala.collection.Seq[String]]("path").toList).toList
+    val fast = one(Long.MaxValue)
+    val dist = one(0)
+    assert(fast == dist)
+    // UTF-8 order picks the PUA route (the supplementary path sorts later)
+    assert(fast == List(List("s", Pua, "t")))
+  }
+}
+
+class FindPathCacheSpec extends SparkSpec {
+
+  test("distributed findPath unpersists every frontier it cached") {
+    val g = Fixtures.queryGraph(spark)
+    // warm the fixture (its own localCheckpoints register persistent RDDs)
+    GraphQueryOps.findPath(g, "alice", "project_y", driverLimit = 0).collect()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = GraphQueryOps.findPath(g, "alice", "project_y", driverLimit = 0)
+    assert(res.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"findPath left ${leaked.size} persisted RDDs behind: $leaked")
+  }
+}
+
+class CompactSummarySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("compact summary extracts the headline fields from a full bench line") {
+    val full =
+      """{"metric":"total","value":56.700,"unit":"sec","queries":{"q1":1.430,"q2":2.930},""" +
+        """"queriesHost":{"q1":{"stealPermille":0,"calMBs":1338,"runs":2}},""" +
+        """"failed":["qx"],"skipped":["qy","qz"],"sf":"/root/testdata/sf0.1",""" +
+        """"kg":{"files":320000,"triples":3912190,"wallSecHigh":21.990,""" +
+        """"abortedRounds":{"high":1,"low":0},""" +
+        """"roundsHigh":[{"sec":21.99,"calMBs":1274,"stealPermille":0}],""" +
+        """"roundsLow":[{"sec":67.30,"calMBs":1075,"stealPermille":0}],""" +
+        """"scaling":{"cpusLow":2,"cpusHigh":8,"shufflePartitions":16,""" +
+        """"triplesPerSecLow":58132.8,"triplesPerSecHigh":177908.0,"efficiency":0.838,""" +
+        """"stages":{"extract_dedup":{"secHigh":4.8,"secLow":16.2,"efficiency":0.841}}}}}"""
+    val s = Bench.compactSummary(full)
+    assert(s.contains("\"metric\":\"summary\""))
+    assert(s.contains("\"value\":56.700"))
+    assert(s.contains("\"efficiency\":0.838"), s)
+    assert(s.contains("\"triplesPerSecHigh\":177908.0"))
+    assert(s.contains("\"triplesPerSecLow\":58132.8"))
+    assert(s.contains("\"files\":320000") && s.contains("\"triples\":3912190"))
+    assert(s.contains("\"queriesTimed\":2"))
+    assert(s.contains("\"failedCount\":1") && s.contains("\"skippedCount\":2"))
+    assert(s.contains("\"abortedRounds\":{\"high\":1,\"low\":0}"))
+    assert(s.length < 600, s"summary must stay tail-capture-small: ${s.length}")
+  }
+
+  test("compact summary degrades to nulls on a partial line, never crashes") {
+    val partial =
+      """{"metric":"total","value":-1.0,"unit":"sec","queries":{},"sf":"/x","kg":null}"""
+    val s = Bench.compactSummary(partial)
+    assert(s.contains("\"efficiency\":null"))
+    assert(s.contains("\"queriesTimed\":0"))
+    assert(s.contains("\"abortedRounds\":null"))
+  }
+}
+
+/** A 07_edges commit from the PRE-round-5 layout carries extraction-time
+  * SURFACE names in srcName/dstName (the canonical-name attach moved into
+  * GraphBuilder.build in round 5); resuming such a checkpoint dir must NOT
+  * project those columns into the triple set — the `_FORMAT.json` marker
+  * dispatches 08 to the legacy node join, which recomputes canonical names
+  * (round-5 advice, medium).
+  */
+class LegacyEdgeResumeSpec extends SparkSpec {
+
+  test("legacy (marker-less) 07_edges resume joins nodes instead of trusting stale names") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("ckpt_legacy").toString
+    val expected = graft.pipeline.CheckpointedPipeline.run(spark, root, 80)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toList
+
+    // simulate the pre-change commit: same edge ROWS but surface-era name
+    // columns garbled, committed WITHOUT the format marker
+    val schema = spark.read.parquet(s"$root/07_edges/data").schema
+    val garbled = spark.read.parquet(s"$root/07_edges/data")
+      .withColumn("srcName", concat(lit("SURFACE_"), col("srcName")))
+      .withColumn("dstName", concat(lit("SURFACE_"), col("dstName")))
+      .collect()
+    val garbledDf = spark.createDataFrame(
+      java.util.Arrays.asList(garbled: _*), schema)
+    // drop the committed stage (catalog entry + dir + marker) and re-commit
+    val spec = Files.readString(Paths.get(s"$root/07_edges/_TABLE.json"))
+    val table = "\"table\":\"([^\"]+)\"".r.findFirstMatchIn(spec).get.group(1)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.foreach(rm) } finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(s"$root/07_edges"))
+    rm(Paths.get(s"$root/07_edges_bydst"))
+    rm(Paths.get(s"$root/08_triple_set"))
+    new graft.runtime.Checkpoint(spark, root)
+      .runStageBucketed("07_edges", Nil, bucketCol = "srcId") { garbledDf }
+    assert(!Files.exists(Paths.get(s"$root/07_edges/_FORMAT.json")),
+      "direct Checkpoint commits must not carry the pipeline's marker")
+
+    // resume: 08 must dispatch to the node join and emit CANONICAL names
+    val resumed = graft.pipeline.CheckpointedPipeline.run(spark, root, 80)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toList
+    assert(!resumed.exists(_.contains("SURFACE_")),
+      "legacy resume projected stale surface names into the triple set")
+    assert(resumed == expected)
+
+    // and a marker-PRESENT resume keeps the zero-join projection: re-run
+    // the full pipeline fresh, delete only 08, resume again
+    val root2 = Files.createTempDirectory("ckpt_canon").toString
+    val fresh = graft.pipeline.CheckpointedPipeline.run(spark, root2, 80)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toList
+    rm(Paths.get(s"$root2/08_triple_set"))
+    assert(Files.exists(Paths.get(s"$root2/07_edges/_FORMAT.json")))
+    val resumed2 = graft.pipeline.CheckpointedPipeline.run(spark, root2, 80)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toList
+    assert(resumed2 == fresh && fresh == expected)
+  }
+}
