@@ -1207,16 +1207,30 @@ object Queries {
     kgCache
   }
 
-  /** Oracles whose committed fixture only covers ONE SF of the driver
-    * corpus (the driver's correctness run is always sf0.01; TESTDATA.md).
-    * Verify omits these from oracle_sql.json at any other SF, degrading
-    * to the rows-only check — otherwise a local sf0.001/sf0.1 run fails
-    * the hash compare in a way indistinguishable from a kernel
-    * regression (same row count, different texts).
+  /** Oracles whose committed fixtures only cover SPECIFIC SFs of the
+    * driver corpus (the driver's correctness run is always sf0.01;
+    * TESTDATA.md). Verify omits these from oracle_sql.json at any other
+    * SF, degrading to the rows-only check — otherwise a local run at an
+    * uncovered SF fails the hash compare in a way indistinguishable from
+    * a kernel regression (same row count, different values). Round 6
+    * widened the sets: q30 fixtures exist per-SF, and the approximate
+    * family gained serial-reference fixtures at sf0.001/sf0.01.
     */
-  val sfPinnedOracles: Map[String, String] = Map("q30_fingerprint" -> "sf0.01")
+  val sfPinnedOracles: Map[String, Set[String]] = Map(
+    "q30_fingerprint" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q24_minhash_dedup" -> Set("sf0.001", "sf0.01"),
+    "q25_simhash_dedup" -> Set("sf0.001", "sf0.01"),
+    "q27_embed_neardup_lsh" -> Set("sf0.001", "sf0.01"),
+    "q28_ann_ivf" -> Set("sf0.001", "sf0.01"))
 
-  val oracles: Map[String, String] = Map(
+  /** SF tag for per-SF fixture file names ("sf0.01" → "sf001"). Verify
+    * sets the `graft.sf.name` property from its input dir before reading
+    * [[oracles]] (a def, so the entries see the property).
+    */
+  private def sfTag: String =
+    sys.props.getOrElse("graft.sf.name", "sf0.01").replace(".", "")
+
+  def oracles: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -1467,7 +1481,35 @@ object Queries {
     // like the driver's correctness run (TESTDATA.md: t2 uses sf0.01).
     "q30_fingerprint" ->
       ("SELECT doc_id, fingerprint FROM read_parquet('" +
-        fixturePath("tools/fixtures/fingerprints_sf001.parquet") + "')"),
+        fixturePath(s"tools/fixtures/fingerprints_$sfTag.parquet") + "')"),
+    // round-6 fixture oracles for the approximate family: the banding /
+    // probing algorithms are DETERMINISTIC (only their relation to exact
+    // similarity is approximate), so their outputs on the frozen per-SF
+    // corpora are pinned by committed fixtures that FixtureGen refuses
+    // to write unless the independent serial reimplementation
+    // (graft.tools.RefApprox — RefXxh64 hashing, raw-band-value buckets,
+    // string-set Jaccard) matches the Spark pipeline exactly. Reference
+    // contract: the blocking stage these stand in for,
+    // src/knowledge/coreference_resolver.py:244-286.
+    "q24_minhash_dedup" ->
+      ("SELECT idA, idB, jaccard FROM read_parquet('" +
+        fixturePath(s"tools/fixtures/lsh_minhash_$sfTag.parquet") + "')"),
+    "q25_simhash_dedup" ->
+      ("SELECT idA, idB, hamming FROM read_parquet('" +
+        fixturePath(s"tools/fixtures/lsh_simhash_$sfTag.parquet") + "')"),
+    "q27_embed_neardup_lsh" ->
+      ("SELECT idA, idB, cosine FROM read_parquet('" +
+        fixturePath(s"tools/fixtures/lsh_embed_$sfTag.parquet") + "')"),
+    "q28_ann_ivf" ->
+      ("SELECT qid, id, cos_sim, rank FROM read_parquet('" +
+        fixturePath(s"tools/fixtures/ivf_topk_$sfTag.parquet") + "')"),
+    // round-6: kg_stats (full=false on the 400-file pipeline graph) gains
+    // a fixture computed by graft.corpus.ClosedFormGraph — an independent
+    // serial replay of extraction→linking→redirect→stats (node/edge/type
+    // counts), closing the last non-approximate rows-only entry.
+    "kg_stats" ->
+      ("SELECT key, value FROM read_parquet('" +
+        fixturePath("tools/fixtures/kg_stats_400.parquet") + "')"),
     "q31_multimodal" ->
       ("SELECT mediaId, mediaType, nBytes, payloadSha, meanLuma, " +
         "resizedW, resizedH, nFramesSampled, decodeError FROM read_parquet('" +

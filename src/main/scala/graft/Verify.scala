@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // the per-SF fixture oracles key their file names off this property;
+    // set it before ANYTHING touches the Queries object
+    System.setProperty("graft.sf.name",
+      Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,9 +42,9 @@ object Verify {
     // input dir degrade them to the rows-only check instead of emitting
     // a guaranteed hash mismatch that reads like a kernel regression
     val sfName = Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString
-    val dropped = Queries.sfPinnedOracles.filter(_._2 != sfName).keySet
+    val dropped = Queries.sfPinnedOracles.filterNot(_._2.contains(sfName)).keySet
     dropped.foreach(k => System.err.println(
-      s"[verify] $k oracle omitted: fixture pinned to ${Queries.sfPinnedOracles(k)}, input is $sfName (rows-only check)"))
+      s"[verify] $k oracle omitted: fixtures cover ${Queries.sfPinnedOracles(k).mkString("/")}, input is $sfName (rows-only check)"))
     val json = (SparkEntry.oracleSql -- dropped)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -79,23 +79,101 @@ object FixtureGen {
       canon.toSeq.sorted.toDF("subjName", "relType", "objName"),
       "closed_form_triples_400.parquet")
 
-    // ---- q30 fingerprint fixture: expected side computed by the
-    // INDEPENDENT public-spec XXH64 fold, then asserted equal to the
-    // native TokenChainHash kernel's distributed output.
+    // ---- kg_stats fixture (round 6): expected side computed by the
+    // INDEPENDENT serial graph-model replay (ClosedFormGraph — typed
+    // line-scan extraction, serial blocking/union-find/redirect), then
+    // asserted equal to the stats rows of the Spark pipeline's graph.
     locally {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val expectedFp = docs.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), RefXxh64.fingerprint(r.getString(1)))).toSeq
-      val actualFp = graft.ops.TextAnalysis.fingerprints(docs).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val diff = (expectedFp.toSet -- actualFp.toSet) ++ (actualFp.toSet -- expectedFp.toSet)
-      diff.take(10).foreach(t => println(s"[fixturegen] FP-DIFF $t"))
-      require(diff.isEmpty && expectedFp.size == actualFp.size,
-        s"TokenChainHash diverged from the independent XXH64 reference on ${diff.size} docs")
+      val expStats = graft.corpus.ClosedFormGraph.expectedStats(400L)
+      val actStats = graft.graphout.GraphBuilder.stats(res.graph).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      val sDiff = (expStats -- actStats) ++ (actStats -- expStats)
+      sDiff.take(10).foreach(t => println(s"[fixturegen] STATS-DIFF $t"))
+      require(sDiff.isEmpty && expStats.size == actStats.size,
+        s"ClosedFormGraph stats diverged from the pipeline on ${sDiff.size} rows")
       writeSingleFile(
-        expectedFp.sortBy(_._1).toDF("doc_id", "fingerprint"),
-        "fingerprints_sf001.parquet")
+        expStats.toSeq.sortBy(_._1).toDF("key", "value"), "kg_stats_400.parquet")
     }
+
+    /** SF tag for per-SF fixture names ("sf0.01" → "sf001"). */
+    def tagOf(dir: String): String =
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+        .getFileName.toString.replace(".", "")
+    val sfRoot = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.getParent
+
+    // ---- q30 fingerprint fixtures, PER SF (round-6: the oracle runs at
+    // every SF instead of being omitted outside sf0.01): expected side
+    // computed by the INDEPENDENT public-spec XXH64 fold, then asserted
+    // equal to the native TokenChainHash kernel's distributed output.
+    Seq("sf0.001", "sf0.01", "sf0.1").map(n => s"$sfRoot/$n")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach { dir =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val expectedFp = docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), RefXxh64.fingerprint(r.getString(1)))).toSeq
+        val actualFp = graft.ops.TextAnalysis.fingerprints(docs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val diff = (expectedFp.toSet -- actualFp.toSet) ++ (actualFp.toSet -- expectedFp.toSet)
+        diff.take(10).foreach(t => println(s"[fixturegen] FP-DIFF $t"))
+        require(diff.isEmpty && expectedFp.size == actualFp.size,
+          s"TokenChainHash diverged from the independent XXH64 reference on ${diff.size} docs ($dir)")
+        writeSingleFile(
+          expectedFp.sortBy(_._1).toDF("doc_id", "fingerprint"),
+          s"fingerprints_${tagOf(dir)}.parquet")
+      }
+
+    // ---- approximate-family fixtures (round 6, the q30/q31 pattern):
+    // the LSH banding / IVF probing is deterministic, so the full query
+    // outputs are pinned per-SF against graft.tools.RefApprox — an
+    // independent serial reimplementation (RefXxh64 hashing, raw-band
+    // buckets, string-set Jaccard) with no Spark execution.
+    Seq("sf0.001", "sf0.01").map(n => s"$sfRoot/$n")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach { dir =>
+        val tag = tagOf(dir)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+        def pin[T](name: String, entry: String, expected: Set[T])(
+            row: org.apache.spark.sql.Row => T): Set[T] = {
+          val actual = graft.Queries.all(entry)(spark, dir).collect()
+            .iterator.map(row).toSet
+          val diff = (expected -- actual) ++ (actual -- expected)
+          diff.take(10).foreach(t => println(s"[fixturegen] $name-DIFF ($tag) $t"))
+          require(diff.isEmpty && expected.size == actual.size,
+            s"$entry diverged from the RefApprox serial reference on ${diff.size} rows ($dir)")
+          expected
+        }
+
+        val mh = pin("MINHASH", "q24_minhash_dedup",
+          RefApprox.q24MinhashDedup(docs).toSet)(
+          r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        writeSingleFile(mh.toSeq.sortBy(p => (p._1, p._2))
+          .toDF("idA", "idB", "jaccard"), s"lsh_minhash_$tag.parquet")
+
+        val sh = pin("SIMHASH", "q25_simhash_dedup",
+          RefApprox.q25SimhashDedup(docs).toSet)(
+          r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        writeSingleFile(sh.toSeq.sortBy(p => (p._1, p._2))
+          .toDF("idA", "idB", "hamming"), s"lsh_simhash_$tag.parquet")
+
+        val em = pin("EMBED", "q27_embed_neardup_lsh",
+          RefApprox.q27EmbedNearDup(embs).toSet)(
+          r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        writeSingleFile(em.toSeq.sortBy(p => (p._1, p._2))
+          .toDF("idA", "idB", "cosine"), s"lsh_embed_$tag.parquet")
+
+        val qIds = embs.map(_._1).filter(_ < 4)
+        val ivf = pin("IVF", "q28_ann_ivf",
+          RefApprox.q28IvfTopK(embs, qIds).toSet)(
+          r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        writeSingleFile(ivf.toSeq.sortBy(p => (p._1, p._4))
+          .toDF("qid", "id", "cos_sim", "rank"), s"ivf_topk_$tag.parquet")
+      }
 
     // ---- q31 media-features fixture: expected side computed by a
     // serial driver-side loop (no Spark execution in the reference path),
