@@ -6,10 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // ONE sfName computation feeds both the fixture-file property and the
+    // oracle-dropping decision below — they must never desynchronize
+    val sfName = Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString
     // the per-SF fixture oracles key their file names off this property;
     // set it before ANYTHING touches the Queries object
-    System.setProperty("graft.sf.name",
-      Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString)
+    System.setProperty("graft.sf.name", sfName)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +43,6 @@ object Verify {
     // SF-pinned fixture oracles only hold at their own SF; at any other
     // input dir degrade them to the rows-only check instead of emitting
     // a guaranteed hash mismatch that reads like a kernel regression
-    val sfName = Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString
     val dropped = Queries.sfPinnedOracles.filterNot(_._2.contains(sfName)).keySet
     dropped.foreach(k => System.err.println(
       s"[verify] $k oracle omitted: fixtures cover ${Queries.sfPinnedOracles(k).mkString("/")}, input is $sfName (rows-only check)"))

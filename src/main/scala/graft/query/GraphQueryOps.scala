@@ -250,34 +250,49 @@ object GraphQueryOps {
     var frontier = Seq((Array(srcId), srcId)).toDF("path", "last")
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Int)]
     var prevCache: Option[DataFrame] = None
-    var depth = 0
-    var frontierNonEmpty = true
-    while (depth < maxDepth && frontierNonEmpty && collected.size < maxPaths) {
-      val stepped = frontier.join(adjDf, Seq("last"))
-        .where(!array_contains($"path", $"next"))
-        .select(concat($"path", array($"next")).as("path"), $"next".as("last"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val obs = Observation()
-      stepped.observe(obs,
-        coalesce(sum(when($"last" === dstId, 1L).otherwise(0L)), lit(0L)).as("hits"),
-        count(lit(1)).as("n")).count()
-      val m = obs.get
-      val hits = m("hits").asInstanceOf[Long]
-      val n = m("n").asInstanceOf[Long]
-      // the previous depth's cache fed this join; it is dead now
-      prevCache.foreach(_.unpersist(blocking = false))
-      if (hits > 0) {
-        val want = maxPaths - collected.size
-        collected ++= stepped.where($"last" === dstId).select($"path")
-          .orderBy(asc("path")).limit(want).collect()
-          .map(r => (r.getSeq[String](0), depth + 1))
+    // the in-flight depth's cache, tracked separately so the finally can
+    // release it when a per-depth job THROWS between persist() and the
+    // prevCache handoff (review round 6: the success-path-only unpersist
+    // re-opened the exact leak the round-5 rewrite eliminated — an
+    // executor OOM or bench kill-switch cancellation mid-loop pinned up
+    // to two MEMORY_AND_DISK frontiers for the rest of the session)
+    var inFlight: DataFrame = null
+    try {
+      var depth = 0
+      var frontierNonEmpty = true
+      while (depth < maxDepth && frontierNonEmpty && collected.size < maxPaths) {
+        val stepped = frontier.join(adjDf, Seq("last"))
+          .where(!array_contains($"path", $"next"))
+          .select(concat($"path", array($"next")).as("path"), $"next".as("last"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        inFlight = stepped
+        val obs = Observation()
+        stepped.observe(obs,
+          coalesce(sum(when($"last" === dstId, 1L).otherwise(0L)), lit(0L)).as("hits"),
+          count(lit(1)).as("n")).count()
+        val m = obs.get
+        val hits = m("hits").asInstanceOf[Long]
+        val n = m("n").asInstanceOf[Long]
+        // the previous depth's cache fed this join; it is dead now
+        prevCache.foreach(_.unpersist(blocking = false))
+        if (hits > 0) {
+          val want = maxPaths - collected.size
+          collected ++= stepped.where($"last" === dstId).select($"path")
+            .orderBy(asc("path")).limit(want).collect()
+            .map(r => (r.getSeq[String](0), depth + 1))
+        }
+        frontier = stepped.where($"last" =!= dstId)
+        prevCache = Some(stepped)
+        frontierNonEmpty = n - hits > 0
+        depth += 1
       }
-      frontier = stepped.where($"last" =!= dstId)
-      prevCache = Some(stepped)
-      frontierNonEmpty = n - hits > 0
-      depth += 1
+    } finally {
+      // unpersist is idempotent — prevCache and inFlight alias the same
+      // frame at a clean loop boundary, and may each hold a distinct one
+      // after a mid-depth throw
+      prevCache.foreach(_.unpersist(blocking = false))
+      if (inFlight ne null) inFlight.unpersist(blocking = false)
     }
-    prevCache.foreach(_.unpersist(blocking = false))
     collected.toSeq.toDF("path", "depth")
   }
 

@@ -17,22 +17,28 @@ object Utf8Order extends Ordering[String] {
 
   def compare(a: String, b: String): Int = {
     // codePoint comparison ≡ UTF-8 byte comparison (UTF-8 is order-
-    // preserving over code points) without allocating byte arrays per call
+    // preserving over code points) without allocating byte arrays per call.
+    // UNPAIRED surrogates: Spark's UTF8String.fromString goes through
+    // String.getBytes(UTF_8), which substitutes '?' (0x3F) for a lone
+    // surrogate, while codePointAt returns the raw D800–DFFF value — map
+    // them to 0x3F here so malformed ids sort exactly as Spark sorts them
+    // (charCount still advances by the RAW code point: 1 for a lone
+    // surrogate, 2 for a valid pair).
     val la = a.length
     val lb = b.length
     var i = 0
     var j = 0
     while (i < la && j < lb) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
+      val ra = a.codePointAt(i)
+      val rb = b.codePointAt(j)
+      val ca = if (ra >= 0xD800 && ra <= 0xDFFF) 0x3F else ra
+      val cb = if (rb >= 0xD800 && rb <= 0xDFFF) 0x3F else rb
       if (ca != cb) return Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-      j += Character.charCount(cb)
+      i += Character.charCount(ra)
+      j += Character.charCount(rb)
     }
     Integer.compare(la - i, lb - j)
   }
 
   override def lt(a: String, b: String): Boolean = compare(a, b) < 0
-
-  def minOf(a: String, b: String): String = if (compare(a, b) <= 0) a else b
 }

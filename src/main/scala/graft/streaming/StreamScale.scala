@@ -81,9 +81,23 @@ object StreamScale {
     val equal = triples == batchTriples && missing == 0 && extra == 0
     streamed.unpersist(blocking = false)
     batch.unpersist(blocking = false)
-    Result(n, nBatches, triples, ingestSec, compactSec, batchSec,
+    val result = Result(n, nBatches, triples, ingestSec, compactSec, batchSec,
       dirBytes(ckpt), dirBytes(out), equal)
+    // the staged corpus + output tables + checkpoint are hundreds of MB at
+    // protocol scale; repeated runs would fill the tmpfs and fail later
+    // jobs on spill/shuffle ENOSPC — remove the working dir once sized
+    deleteRecursively(java.nio.file.Paths.get(work))
+    result
   }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally s.close()
+    }
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "320000").toLong

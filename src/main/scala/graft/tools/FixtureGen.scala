@@ -95,6 +95,19 @@ object FixtureGen {
         expStats.toSeq.sortBy(_._1).toDF("key", "value"), "kg_stats_400.parquet")
     }
 
+    /** No-silent-caps for regeneration itself: an SF dir missing on the
+      * machine running FixtureGen means that SF's committed fixtures are
+      * NOT refreshed — after a kernel change they'd go stale in git while
+      * sfPinnedOracles still advertises them, and the next driver run at
+      * that SF would hash-mismatch in a way that mimics a regression.
+      * Shout about every skip. */
+    def existingOrWarn(dirs: Seq[String]): Seq[String] = dirs.filter { d =>
+      val ok = java.nio.file.Files.exists(java.nio.file.Paths.get(d))
+      if (!ok) System.err.println(
+        s"[fixturegen] SKIPPED $d — SF dir missing; fixtures for this SF were NOT regenerated (committed ones may now be stale)")
+      ok
+    }
+
     /** SF tag for per-SF fixture names ("sf0.01" → "sf001"). */
     def tagOf(dir: String): String =
       java.nio.file.Paths.get(dir).toAbsolutePath.normalize
@@ -105,8 +118,7 @@ object FixtureGen {
     // every SF instead of being omitted outside sf0.01): expected side
     // computed by the INDEPENDENT public-spec XXH64 fold, then asserted
     // equal to the native TokenChainHash kernel's distributed output.
-    Seq("sf0.001", "sf0.01", "sf0.1").map(n => s"$sfRoot/$n")
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    existingOrWarn(Seq("sf0.001", "sf0.01", "sf0.1").map(n => s"$sfRoot/$n"))
       .foreach { dir =>
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val expectedFp = docs.select("doc_id", "text").collect()
@@ -127,8 +139,7 @@ object FixtureGen {
     // outputs are pinned per-SF against graft.tools.RefApprox — an
     // independent serial reimplementation (RefXxh64 hashing, raw-band
     // buckets, string-set Jaccard) with no Spark execution.
-    Seq("sf0.001", "sf0.01").map(n => s"$sfRoot/$n")
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    existingOrWarn(Seq("sf0.001", "sf0.01").map(n => s"$sfRoot/$n"))
       .foreach { dir =>
         val tag = tagOf(dir)
         val docs = spark.read.parquet(s"$dir/documents.parquet")

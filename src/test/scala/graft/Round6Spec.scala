@@ -30,6 +30,25 @@ class Utf8OrderSpec extends SparkSpec {
       "fixture must actually exercise the UTF-16/UTF-8 divergence")
   }
 
+  test("Utf8Order ≡ Spark string sort on UNPAIRED surrogates (malformed UTF-16)") {
+    import spark.implicits._
+    // Spark's UTF8String.fromString goes through String.getBytes(UTF_8),
+    // which substitutes '?' (0x3F) for a lone surrogate; codePointAt
+    // returns the raw D800+ value, so the pre-fix comparator sorted
+    // "X\uD800" AFTER "Xz" while Spark sorts it ("X?") before. Spark also
+    // REWRITES the value at ingestion, so parity is asserted on the
+    // UTF-8 encodings of the sorted sequences (all encodings distinct —
+    // no tie whose output order a sort could legitimately flip).
+    val lone = "X" + "\uD800"
+    val ids = Seq(lone + "a", "Xz", "X", "X?b", "\uDC00" + "q", Supp, Pua)
+    def enc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toList
+    val sparkOrder = ids.toDF("s").orderBy("s").as[String].collect().toList
+    val utf8Order = ids.sorted(graft.runtime.Utf8Order).toList
+    assert(utf8Order.map(enc) == sparkOrder.map(enc))
+    assert(ids.sorted.map(enc) != sparkOrder.map(enc),
+      "fixture must actually exercise the lone-surrogate divergence")
+  }
+
   test("CC driver union-find min-id labels ≡ distributed on supplementary ids") {
     import spark.implicits._
     // the Supp/Pua component contains ONLY non-ASCII ids, so its min-id
