@@ -117,7 +117,21 @@ object Extractor {
         case _ => ()
       }
     }
-    Extraction(es.toSeq, ts.toSeq)
+    // Collapse repeated matches of the same relation within this segment
+    // (e.g. the same call site text occurring twice): their ids collide
+    // BY CONSTRUCTION (id = hash(srcId, relType, dstId, segId)) and the
+    // rows are identical (same pattern site ⇒ same confidence/context),
+    // so keep the max-confidence/first one. After this, triple ids are
+    // ROW-UNIQUE across the whole corpus — the contract GraphBuilder's
+    // id-keyed winner fetch (narrow keep-max + semi join) relies on.
+    val uniq = scala.collection.mutable.LinkedHashMap.empty[String, Triple]
+    ts.foreach { t =>
+      uniq.get(t.id) match {
+        case Some(prev) if prev.confidence >= t.confidence => ()
+        case _ => uniq.update(t.id, t)
+      }
+    }
+    Extraction(es.toSeq, uniq.values.toSeq)
   }
 
   /** Per-partition cap on the mention pre-aggregation map: when distinct

@@ -20,26 +20,60 @@ object GraphBuilder {
 
   final case class Graph(nodes: Dataset[Entity], edges: Dataset[Triple])
 
+  /** CONTRACT: `triples.id` must be row-unique — the keep-max winner
+    * fetch is an id-keyed semi join, so duplicate-id rows would pass
+    * through with their multiplicity. The extractor guarantees this
+    * (per-segment id collapse, Extractor.extractSegment); importJson
+    * enforces it with dropDuplicates("id") before calling here.
+    */
   def build(entities: Dataset[Entity], triples: Dataset[Triple]): Graph = {
     val spark = entities.sparkSession
     import spark.implicits._
 
-    // keep-max dedup per (srcId, relType, dstId) FIRST: max_by(struct)
-    // aggregate — a single hash aggregate whose map-side partial combine
-    // collapses the cross-file duplicate mass (3-5x on template-heavy
-    // corpora) BEFORE any join shuffles move rows; every downstream
-    // exchange then ships the distinct set only. Dedup and endpoint
-    // filtering commute: dangling-ness is a property of (srcId, dstId),
-    // shared by every member of a dedup group. A window row_number would
-    // sort every partition instead; column ops only (a typed filter/map
-    // here deserializes every Triple object — measured as the pipeline's
+    // keep-max dedup per (srcId, relType, dstId) FIRST: a single
+    // aggregate whose map-side partial combine collapses the cross-file
+    // duplicate mass (3-5x on template-heavy corpora) BEFORE any join
+    // shuffles move rows; every downstream exchange then ships the
+    // distinct set only. Dedup and endpoint filtering commute:
+    // dangling-ness is a property of (srcId, dstId), shared by every
+    // member of a dedup group. A window row_number would sort every
+    // partition instead; column ops only (a typed filter/map here
+    // deserializes every Triple object — measured as the pipeline's
     // biggest stage cost).
+    //
+    // Keep-max SHAPE (round 6): winner selection runs on a 5-column
+    // NARROW projection (keys + id + confidence), then the winning rows
+    // are fetched by a shuffle_hash LEFT SEMI on (keys, id = winId).
+    // Rationale, measured at the 1.28M-file size (StageProbe,
+    // BASELINE.md round 6): a direct min_by(struct(all cols)) — like
+    // every declarative keep-row form — has a non-primitive buffer and
+    // compiles to SortAggregateExec, i.e. a full O(n log n) sort of the
+    // WIDE raw-triple rows on both map and final sides whose concurrent
+    // external merges are memory-bandwidth-bound (5.2x CPU inflation at
+    // 8 threads vs 2 for identical work); a TypedImperativeAggregate
+    // carrying the wide row (ObjectHashAggregate) swaps that for a
+    // per-task object map with millions of long-lived entries and dies
+    // in GC instead (12.9 s → 1038 s task GC time). The narrow split
+    // keeps the unavoidable sort-agg but on ~50-byte rows (8-10x less
+    // sort bandwidth, primitive-only payload), and the wide rows take
+    // exactly ONE linear shuffle (to the group keys, same as before)
+    // plus a streamed hash-semi probe — no wide sort, no object state.
+    // The semi build side (one id per distinct group) reuses the
+    // aggregate's (srcId, relType, dstId) partitioning, so the join
+    // adds no exchange on that side.
     val cols = triples.toDF().columns
-    val deduped = triples.toDF()
-      .groupBy("srcId", "relType", "dstId")
-      .agg(min_by(struct(cols.map(col): _*),
-        struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("row"))
-      .select(col("row.*"))
+    val raw = triples.toDF()
+    val winners = raw
+      .select(col("srcId").as("_ws"), col("relType").as("_wr"),
+        col("dstId").as("_wd"), col("id"), col("confidence"))
+      .groupBy("_ws", "_wr", "_wd")
+      .agg(min_by(col("id"),
+        struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("_wid"))
+    val deduped = raw.join(
+      winners.hint("shuffle_hash"),
+      raw("srcId") === winners("_ws") && raw("relType") === winners("_wr") &&
+        raw("dstId") === winners("_wd") && raw("id") === winners("_wid"),
+      "left_semi")
 
     // endpoint existence: two joins against the node (id, name) projection
     // (the inverse of verifier V2). These double as CANONICAL NAME
@@ -60,7 +94,13 @@ object GraphBuilder {
     // by id; see KgPipeline). Names deduped by id defensively (duplicate
     // node ids are an upstream invariant violation; min keeps this
     // deterministic instead of row-order-dependent).
-    val names = entities.toDF().groupBy($"id").agg(min($"name").as("name"))
+    // KeepRowBy, not min(name): a string min buffer also lands in
+    // SortAggregateExec (sorts the node table twice per join side);
+    // (0.0, name) argmin ≡ min(name) under the same binary string order
+    val names = entities.toDF().groupBy($"id")
+      .agg(graft.functions.KeepRowBy.minRow(
+        lit(0.0), $"name", struct($"name")).as("w"))
+      .select($"id", $"w.name".as("name"))
     val valid = deduped
       .drop("dstName")
       .join(names.hint("shuffle_hash")

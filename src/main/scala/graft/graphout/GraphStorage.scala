@@ -296,6 +296,10 @@ object GraphStorage {
       lit("").as("segId"),
       map().cast("map<string,string>").as("attributes")).as[Triple]
 
-    GraphBuilder.build(nodes, edges)
+    // build() requires ROW-UNIQUE edge ids (its winner fetch is an
+    // id-keyed semi join); user JSON can repeat ids (the default id is
+    // src_rel_dst), so collapse them here — import is a driver-scale
+    // path, the extra aggregate is irrelevant at its size
+    GraphBuilder.build(nodes, edges.dropDuplicates("id").as[Triple])
   }
 }

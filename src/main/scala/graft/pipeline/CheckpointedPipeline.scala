@@ -64,10 +64,23 @@ object CheckpointedPipeline {
       extracted.where(col("error").isNull)
         .select(explode(col("entities")).as("e")).select("e.*")
     }
-    val triples = cp.runStage("03_triples", Seq("02_extracted")) {
+    // Same semantic-version pattern as 07_edges below (round-5 advice):
+    // since round 6 the extractor collapses duplicate triple ids per
+    // segment (row-unique ids — the contract GraphBuilder's id-keyed
+    // winner fetch relies on). A 03_triples commit from pre-change code
+    // can carry duplicate-id rows (identical copies); collapse them on
+    // legacy read so a resume can't double-emit winner rows.
+    val triplesFormatPath = java.nio.file.Paths.get(s"$root/03_triples/_FORMAT.json")
+    val triplesWereCommitted = cp.isCommitted("03_triples")
+    val triples0 = cp.runStage("03_triples", Seq("02_extracted")) {
       extracted.where(col("error").isNull)
         .select(explode(col("triples")).as("t")).select("t.*")
     }
+    if (!triplesWereCommitted)
+      Checkpoint.writeAtomic(triplesFormatPath, """{"tripleIds":"row-unique","version":2}""")
+    val triples =
+      if (java.nio.file.Files.exists(triplesFormatPath)) triples0
+      else triples0.dropDuplicates("id")
 
     val canonical = cp.runStage("04_canonical_mentions", Seq("02_mentions")) {
       EntityMerge.dedupeMentionsFast(mentions.as[Entity]).toDF()

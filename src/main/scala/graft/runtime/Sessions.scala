@@ -38,6 +38,18 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.default.parallelism", shufflePartitions.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate: KeepRowBy,
+      // collect_set in the mention dedup) silently degrades to
+      // SORT-based aggregation once the per-task hash map passes this
+      // row count — Spark's default of 128 turns OHA into a sort on any
+      // real group cardinality. Buffers here are bounded single rows
+      // (winner row / context set), so the map is ~entries × row-width:
+      // 2M × ~500B ≈ 1 GB per task worst-case. The scale contract is
+      // that shuffle partition count grows with data so groups/partition
+      // stays under this bound (parts = O(input bytes / target), not a
+      // constant) — same sizing rule as every hash join build side.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "2097152"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
