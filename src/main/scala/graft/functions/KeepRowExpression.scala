@@ -79,14 +79,20 @@ case class KeepRowBy(
   @transient private lazy val scratchRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(scratch)
 
   /** asc-nulls-first on (d, s): the order `min_by(v, struct(d, s))` and
-    * `min(struct(d, s, ...))` with a unique `s` both realize.
+    * `min(struct(d, s, ...))` with a unique `s` both realize. Doubles
+    * compare like Spark's nan-safe ordering: NaN greatest and NaN = NaN
+    * (as Double.compare), but -0.0 = 0.0 (where bare Double.compare
+    * diverges — the `x == y` short-circuit restores Spark's equality).
     */
   private def less(d1: Any, s1: Any, d2: Any, s2: Any): Boolean = {
     val c1 =
       if (d1 == null && d2 == null) 0
       else if (d1 == null) -1
       else if (d2 == null) 1
-      else java.lang.Double.compare(d1.asInstanceOf[Double], d2.asInstanceOf[Double])
+      else {
+        val x = d1.asInstanceOf[Double]; val y = d2.asInstanceOf[Double]
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      }
     if (c1 != 0) return c1 < 0
     if (s1 == null && s2 == null) false
     else if (s1 == null) true

@@ -22,9 +22,13 @@ object GraphBuilder {
 
   /** CONTRACT: `triples.id` must be row-unique — the keep-max winner
     * fetch is an id-keyed semi join, so duplicate-id rows would pass
-    * through with their multiplicity. The extractor guarantees this
-    * (per-segment id collapse, Extractor.extractSegment); importJson
-    * enforces it with dropDuplicates("id") before calling here.
+    * through with their multiplicity. Guarantors at every call site: the
+    * extractor collapses duplicate ids per segment
+    * (Extractor.extractSegment); importJson collapses user-supplied
+    * duplicates keeping max confidence; StreamingIngest writes each
+    * micro-batch to an idempotent batch=<id> dir (replays rewrite, never
+    * append duplicates); CheckpointedPipeline dedups legacy 02_extracted
+    * commits on read (_FORMAT.json marker).
     */
   def build(entities: Dataset[Entity], triples: Dataset[Triple]): Graph = {
     val spark = entities.sparkSession
@@ -95,11 +99,16 @@ object GraphBuilder {
     // node ids are an upstream invariant violation; min keeps this
     // deterministic instead of row-order-dependent).
     // KeepRowBy, not min(name): a string min buffer also lands in
-    // SortAggregateExec (sorts the node table twice per join side);
-    // (0.0, name) argmin ≡ min(name) under the same binary string order
+    // SortAggregateExec (sorts the node table twice per join side).
+    // min(name) SKIPS nulls (a null name wins only if the whole group is
+    // null), so null-name rows are pushed LAST via ordD=1 and the payload
+    // keeps the original (possibly null) name — exactly min's semantics
+    // (round-6 review: a nulls-first argmin would attach a null name to a
+    // duplicate-id group that also has a real one, e.g. from importJson).
     val names = entities.toDF().groupBy($"id")
       .agg(graft.functions.KeepRowBy.minRow(
-        lit(0.0), $"name", struct($"name")).as("w"))
+        when($"name".isNull, lit(1.0)).otherwise(lit(0.0)),
+        coalesce($"name", lit("")), struct($"name")).as("w"))
       .select($"id", $"w.name".as("name"))
     val valid = deduped
       .drop("dstName")

@@ -84,9 +84,7 @@ final class GraphStorage(spark: SparkSession, root: String) {
         val s = Files.list(workDir)
         try s.iterator().asScala.toSeq
           .filterNot(p => keep.contains(p.getFileName.toString))
-          .foreach { d =>
-            Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          }
+          .foreach(d => graft.runtime.Checkpoint.deleteRecursively(d))
         finally s.close()
       }
     }
@@ -192,8 +190,7 @@ final class GraphStorage(spark: SparkSession, root: String) {
     val p = Paths.get(dir(name))
     if (!Files.exists(p)) false
     else {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.runtime.Checkpoint.deleteRecursively(p)
       true
     }
   }
@@ -298,8 +295,22 @@ object GraphStorage {
 
     // build() requires ROW-UNIQUE edge ids (its winner fetch is an
     // id-keyed semi join); user JSON can repeat ids (the default id is
-    // src_rel_dst), so collapse them here — import is a driver-scale
-    // path, the extra aggregate is irrelevant at its size
-    GraphBuilder.build(nodes, edges.dropDuplicates("id").as[Triple])
+    // src_rel_dst), so collapse them here keeping the MAX-CONFIDENCE row
+    // with a full-field tiebreak — dropDuplicates would keep a
+    // partition-order-dependent arbitrary row (round-6 review), silently
+    // replacing build()'s old deterministic keep-max for imported
+    // duplicates. Import is a driver-scale path; the wide sort-aggregate
+    // is irrelevant at its size. attributes is the constant empty map
+    // here, so the tiebreak fields totally order distinct rows.
+    val e = edges.toDF()
+    val eCols = e.columns
+    val uniqueEdges = e.groupBy("id")
+      .agg(min_by(struct(eCols.map(col): _*),
+        struct((-col("confidence")).as("nc"), col("srcId"), col("dstId"),
+          col("relType"), coalesce(col("context"), lit("")).as("ctx"),
+          col("bidirectional").cast("int").as("bd"), col("strength"),
+          col("segId"))).as("row"))
+      .select(col("row.*")).as[Triple]
+    GraphBuilder.build(nodes, uniqueEdges)
   }
 }

@@ -53,9 +53,23 @@ object CheckpointedPipeline {
     // that parquet, never re-running extraction. Per-row failures land in
     // the error side-output stage (Result-monad mapping, SURVEY §2.12) —
     // its manifest rows counter IS the failure metric for the run.
+    // SEMANTIC-VERSION marker for the extraction format (round-6 review,
+    // provenance-corrected): since round 6 the extractor collapses
+    // duplicate triple ids per segment (row-unique ids — the contract
+    // GraphBuilder's id-keyed winner fetch relies on). The id-collapse
+    // semantic lives in THIS stage's rows, so the marker must record who
+    // committed 02_extracted — a marker on 03_triples would stamp
+    // "row-unique" over a 03 recomputed by exploding a LEGACY 02 commit
+    // (resume killed between 02 and 03).
+    val extractedFormatPath =
+      java.nio.file.Paths.get(s"$root/02_extracted/_FORMAT.json")
+    val extractedWereCommitted = cp.isCommitted("02_extracted")
     val extracted = cp.runStage("02_extracted", Seq("01_segments")) {
       Extractor.extractCombinedSafe(segments.as[Segment]).toDF()
     }
+    if (!extractedWereCommitted)
+      Checkpoint.writeAtomic(extractedFormatPath,
+        """{"tripleIds":"row-unique","version":2}""")
     cp.runStage("02_errors", Seq("02_extracted")) {
       extracted.where(col("error").isNotNull)
         .select(col("segId"), col("repo"), col("path"), col("error"))
@@ -64,22 +78,16 @@ object CheckpointedPipeline {
       extracted.where(col("error").isNull)
         .select(explode(col("entities")).as("e")).select("e.*")
     }
-    // Same semantic-version pattern as 07_edges below (round-5 advice):
-    // since round 6 the extractor collapses duplicate triple ids per
-    // segment (row-unique ids — the contract GraphBuilder's id-keyed
-    // winner fetch relies on). A 03_triples commit from pre-change code
-    // can carry duplicate-id rows (identical copies); collapse them on
-    // legacy read so a resume can't double-emit winner rows.
-    val triplesFormatPath = java.nio.file.Paths.get(s"$root/03_triples/_FORMAT.json")
-    val triplesWereCommitted = cp.isCommitted("03_triples")
     val triples0 = cp.runStage("03_triples", Seq("02_extracted")) {
       extracted.where(col("error").isNull)
         .select(explode(col("triples")).as("t")).select("t.*")
     }
-    if (!triplesWereCommitted)
-      Checkpoint.writeAtomic(triplesFormatPath, """{"tripleIds":"row-unique","version":2}""")
+    // A 02_extracted commit from pre-change code (no _FORMAT marker) can
+    // carry duplicate-id triple rows (identical copies); collapse them on
+    // legacy read so a resume can't double-emit winner rows. One-time
+    // legacy cost — marker-bearing commits skip it.
     val triples =
-      if (java.nio.file.Files.exists(triplesFormatPath)) triples0
+      if (java.nio.file.Files.exists(extractedFormatPath)) triples0
       else triples0.dropDuplicates("id")
 
     val canonical = cp.runStage("04_canonical_mentions", Seq("02_mentions")) {

@@ -252,6 +252,19 @@ object Checkpoint {
     Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Recursive delete, children before parents. The ONE copy of
+    * filesystem-destructive walk logic (review round 6: three inline
+    * variants had drifted across GraphStorage and StreamScale).
+    */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } finally s.close()
+    }
+
   /** Minimal JSON string escape/unescape for the _TABLE.json spec —
     * backslashes AND quotes (round-4 advice: quote-only escaping breaks
     * the round-trip for a schema DDL carrying a backslash or an escaped

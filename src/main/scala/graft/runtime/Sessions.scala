@@ -42,14 +42,17 @@ object Sessions {
       // collect_set in the mention dedup) silently degrades to
       // SORT-based aggregation once the per-task hash map passes this
       // row count — Spark's default of 128 turns OHA into a sort on any
-      // real group cardinality. Buffers here are bounded single rows
-      // (winner row / context set), so the map is ~entries × row-width:
-      // 2M × ~500B ≈ 1 GB per task worst-case. The scale contract is
-      // that shuffle partition count grows with data so groups/partition
-      // stays under this bound (parts = O(input bytes / target), not a
-      // constant) — same sizing rule as every hash join build side.
+      // real group cardinality. 512k entries × bounded single-row
+      // buffers (~500B winner row / context set) caps the UNTRACKED
+      // per-task object map near 256 MB — past that the sort fallback is
+      // the correct safety valve (the threshold counts entries, not
+      // bytes; review round 6 flagged a 2M setting as removing it). The
+      // engine's own high-cardinality aggregates don't rely on OHA at
+      // all (edge keep-max = narrow winner + semi join); the scale
+      // contract is that shuffle partitions grow with data so
+      // groups/partition stays far under this bound.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "2097152"))
+        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "524288"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -85,19 +85,15 @@ object StreamScale {
       dirBytes(ckpt), dirBytes(out), equal)
     // the staged corpus + output tables + checkpoint are hundreds of MB at
     // protocol scale; repeated runs would fill the tmpfs and fail later
-    // jobs on spill/shuffle ENOSPC — remove the working dir once sized
-    deleteRecursively(java.nio.file.Paths.get(work))
+    // jobs on spill/shuffle ENOSPC — remove the working dir once sized.
+    // ONLY on success: a diverging run must keep its staged bytes so the
+    // differential can be localized and reproduced (round-6 review: the
+    // old unconditional delete destroyed the evidence exactly when the
+    // pin failed).
+    if (equal) graft.runtime.Checkpoint.deleteRecursively(java.nio.file.Paths.get(work))
+    else System.err.println(s"[streamscale] divergence — work dir KEPT at $work")
     result
   }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val s = java.nio.file.Files.walk(root)
-      try {
-        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally s.close()
-    }
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "320000").toLong

@@ -30,10 +30,21 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[CodeFile], batchId: Long) =>
+        // IDEMPOTENT per-batch writes (round-6 review): foreachBatch is
+        // at-least-once — a crash between the parquet append and the
+        // streaming commit log replays the batch, and a bare append
+        // would then hold every triple id twice, violating
+        // GraphBuilder.build's row-unique id contract (the id-keyed
+        // winner fetch passes duplicates through). Writing each batch to
+        // its own batch=<id> partition dir with overwrite makes replays
+        // rewrite instead of duplicate — the standard foreachBatch
+        // exactly-once recipe.
         val segments: Dataset[Segment] = CodeSegmenter.windows(batch)
         val (mentions, triples) = Extractor.extract(segments)
-        mentions.toDF().write.mode("append").parquet(s"$outRoot/mentions")
-        triples.toDF().write.mode("append").parquet(s"$outRoot/triples")
+        mentions.toDF().write.mode("overwrite")
+          .parquet(s"$outRoot/mentions/batch=$batchId")
+        triples.toDF().write.mode("overwrite")
+          .parquet(s"$outRoot/triples/batch=$batchId")
         ()
       }
       .start()
@@ -45,8 +56,13 @@ object StreamingIngest {
     */
   def compact(spark: SparkSession, outRoot: String): DataFrame = {
     import spark.implicits._
-    val mentions = spark.read.parquet(s"$outRoot/mentions").as[graft.model.Entity]
-    val triples = spark.read.parquet(s"$outRoot/triples").as[graft.model.Triple]
+    // drop the batch=<id> partition-discovery column the per-batch
+    // idempotent layout introduces — downstream schemas are the model
+    // case classes
+    val mentions = spark.read.parquet(s"$outRoot/mentions")
+      .drop("batch").as[graft.model.Entity]
+    val triples = spark.read.parquet(s"$outRoot/triples")
+      .drop("batch").as[graft.model.Triple]
     val deduped = graft.link.EntityMerge.dedupeMentionsFast(mentions)
     val linked = graft.link.Linker.link(deduped)
     val redirected = graft.link.Linker.redirectEdges(triples, linked.rewrite)
