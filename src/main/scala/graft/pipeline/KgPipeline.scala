@@ -114,14 +114,27 @@ object KgPipeline {
       // cache co-partitioned — zero node-side exchanges for the whole run
       val n = linked.canonical.repartition(parts, $"id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val redirected = Linker.redirectEdges(rawTriples, linked.rewrite)
+      // redirected edges persist: GraphBuilder.build reads the raw edge
+      // table from more than one plan side (narrow winner aggregate +
+      // bloom side-job, then the wide semi-join side), and here its
+      // lineage is the full regex extraction — uncached, every consumer
+      // re-runs the extraction pass. One columnar cache bounds that to a
+      // single pass (the checkpointed pipeline gets the same property
+      // from its committed parquet stages). Released after the edge
+      // cache materializes — the downstream reads e's cache, never this.
+      val cacheRaw = spark.conf.get("spark.graft.pipeline.cacheRaw", "true").toBoolean
+      val redirected0 = Linker.redirectEdges(rawTriples, linked.rewrite)
+      val redirected = if (cacheRaw)
+        redirected0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else redirected0
       val g = GraphBuilder.build(n, redirected)
       // edges cached hash-partitioned on srcId (the union with reversed
       // rows erases the semi-join's partitioning metadata): the srcId
       // name-attach and every downstream traversal join start co-located
       val e = g.edges.repartition(parts, $"srcId")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (force) { n.count(); e.count() }
+      if (force) { n.count(); e.count()
+        if (cacheRaw) redirected.unpersist(blocking = false) }
       (n, e)
     }
     val graph = GraphBuilder.Graph(nodes, edges)

@@ -299,6 +299,39 @@ class KeepRowBySpec extends SparkSpec {
         !l.contains("srcName") && !l.contains("dstName"), l.take(300))
     }
   }
+
+  test("bloom prefilter: forced ≡ off (edges bit-identical), filter below the wide exchange") {
+    import spark.implicits._
+    val ents = fuzzedTriples(600, seed = 11L).collect()
+      .flatMap(t => Seq(t.srcId, t.dstId)).distinct.map { id =>
+        graft.model.Entity(id, s"N$id", "class", None, Map.empty, 0.9,
+          "s0", "r", "p", "sha")
+      }.toSeq.toDS()
+    def edgesJson(mode: String) = {
+      spark.conf.set("spark.graft.dedup.bloom", mode)
+      try {
+        val g = graft.graphout.GraphBuilder.build(ents, fuzzedTriples(600, seed = 11L))
+        val df = g.edges.toDF().withColumn("attributes", to_json(col("attributes")))
+        (df, df.collect().map(_.toString).sorted.toSeq)
+      } finally spark.conf.set("spark.graft.dedup.bloom", "auto")
+    }
+    val (dfOff, off) = edgesJson("off")
+    val (dfOn, on) = edgesJson("force")
+    assert(on == off && on.nonEmpty)
+    val pOn = dfOn.queryExecution.executedPlan.toString
+    val pOff = dfOff.queryExecution.executedPlan.toString
+    assert(pOn.contains("might_contain"), pOn.take(2000))
+    assert(!pOff.contains("might_contain"), pOff.take(2000))
+    // the prefilter must sit BELOW the semi join's exchange: the filter's
+    // whole point is that loser rows die before the wide shuffle. In the
+    // plan string the Exchange feeding the LeftSemi stream side must
+    // appear ABOVE (before) the might_contain filter line.
+    val lines = pOn.linesIterator.toVector
+    val filterIdx = lines.indexWhere(_.contains("might_contain"))
+    val semiIdx = lines.indexWhere(l => l.contains("ShuffledHashJoin") && l.contains("LeftSemi"))
+    assert(semiIdx >= 0 && filterIdx > semiIdx,
+      s"might_contain at $filterIdx, semi join at $semiIdx\n" + pOn.take(2000))
+  }
 }
 
 /** Round-6 review regressions: null-name groups must behave like
