@@ -67,30 +67,34 @@ object GraphBuilder {
     // adds no exchange on that side.
     val cols = triples.toDF().columns
     val raw = triples.toDF()
-    val winners = raw
+    val winners0 = raw
       .select(col("srcId").as("_ws"), col("relType").as("_wr"),
         col("dstId").as("_wd"), col("id"), col("confidence"))
       .groupBy("_ws", "_wr", "_wd")
       .agg(min_by(col("id"),
         struct((-col("confidence")).as("nc"), col("id").as("tid"))).as("_wid"))
-    // Bloom PREFILTER on winner ids (round 6): the semi join above ships
-    // every raw wide row through one exchange — including the loser rows
-    // the join immediately discards (~30% of the raw mass on
-    // template-heavy corpora, 2.3 GB of the 7.4 GB merge_build shuffle
-    // write at the 1.28M-file size). Winner ids are known BEFORE that
-    // exchange (the narrow aggregate), so an eager side-job builds a
-    // bloom over xxhash64(winnerId) and a might_contain filter drops
-    // losers below the exchange. Row-unique ids make the winner-id SET a
-    // sound filter (a loser can never share a winner's id); false
-    // positives (~1%) pass and are removed by the exact semi join, so
-    // correctness is untouched — the bloom only moves WHERE losers die.
-    // Fixed bits budget (default 64 Mbit = 8 MB literal, riding the
-    // per-stage task-binary broadcast): past ~50M distinct edges the fpp
-    // degrades toward pass-everything — graceful at 100 TB (the filter
-    // stops helping, never hurts correctness), and the budget is a conf
-    // for clusters with room for more. Auto-gated on plan stats so tiny
-    // builds (tests, streaming micro-batches) skip the extra job.
-    val bloomConf = spark.conf.get("spark.graft.dedup.bloom", "auto")
+    // Bloom PREFILTER on winner ids (round 6) — implemented, measured,
+    // and DEFAULT OFF. The idea: the semi join above ships every raw wide
+    // row through one exchange, including the ~20% loser rows the join
+    // discards (DupRatio at 160k: 2.66M raw, 2.14M groups); winner ids
+    // are known before that exchange (the narrow aggregate), so a side
+    // job can build a bloom over xxhash64(winnerId) and a might_contain
+    // filter drops losers below the exchange. Row-unique ids make the
+    // winner-id set a sound filter; false positives pass through to the
+    // exact semi join, so results are bit-identical (pinned below).
+    // MEASURED (interleaved StageProbe A/B, BASELINE.md round 6): every
+    // way of funding the bloom's second winners consumer loses at this
+    // corpus's dup ratio. Re-running the narrow aggregate costs +691 MB
+    // shuffle at 320k to save ~90 MB of the (lz4-compressed) wide
+    // exchange; localCheckpoint-ing winners makes the bloom free at 320k
+    // (net −84 MB) but at 1.28M the ~17M-row deserialized checkpoint
+    // evicts the edge/node caches and the run collapses (609-694 s vs
+    // 247-305 s with the bloom off, triple_set 5 s → 298 s). The wide
+    // rows compress too well and the loser fraction is too low for the
+    // filter to pay. Kept behind a conf for corpora where losers
+    // dominate (50%+ template mass): "auto" gates on plan stats,
+    // "force" for tests.
+    val bloomConf = spark.conf.get("spark.graft.dedup.bloom", "off")
     val bloomBits = spark.conf.get("spark.graft.dedup.bloom.bits", (64L * 1024 * 1024).toString).toLong
     val bloomMinBytes = spark.conf.get("spark.graft.dedup.bloom.minBytes", (64L * 1024 * 1024).toString).toLong
     val engageBloom = bloomConf match {
@@ -98,6 +102,14 @@ object GraphBuilder {
       case "force" => true
       case _       => raw.queryExecution.optimizedPlan.stats.sizeInBytes >= bloomMinBytes
     }
+    // When the bloom engages, winners gains a second consumer (the bloom
+    // side job plus the semi-join build side); localCheckpoint
+    // materializes the aggregate once (eager, partitioning preserved via
+    // LogicalRDD) so the side job doesn't re-run it — but the checkpoint
+    // storage itself is what sinks the bloom at scale (see above). The
+    // default off path keeps the single-consumer lazy form — no
+    // checkpoint, no extra job.
+    val winners = if (!engageBloom) winners0 else winners0.localCheckpoint(true)
     val preFiltered = if (!engageBloom) raw else {
       val bf = winners.select(xxhash64(col("_wid")).as("h"))
         .stat.bloomFilter("h", (bloomBits / 10).max(1), bloomBits)

@@ -114,15 +114,18 @@ object KgPipeline {
       // cache co-partitioned — zero node-side exchanges for the whole run
       val n = linked.canonical.repartition(parts, $"id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // redirected edges persist: GraphBuilder.build reads the raw edge
-      // table from more than one plan side (narrow winner aggregate +
-      // bloom side-job, then the wide semi-join side), and here its
-      // lineage is the full regex extraction — uncached, every consumer
-      // re-runs the extraction pass. One columnar cache bounds that to a
-      // single pass (the checkpointed pipeline gets the same property
-      // from its committed parquet stages). Released after the edge
-      // cache materializes — the downstream reads e's cache, never this.
-      val cacheRaw = spark.conf.get("spark.graft.pipeline.cacheRaw", "true").toBoolean
+      // redirected edges are NOT cached by default: GraphBuilder.build
+      // does read the raw edge table from two plan sides (narrow winner
+      // aggregate, then the wide semi-join side), so caching looks like
+      // it should save an extraction pass — but the interleaved StageProbe
+      // A/B at 320k (BASELINE.md round 6) measured the cache at +439 MB
+      // shuffle write and +19 s CPU versus just recomputing the narrow
+      // regex lineage: the columnar cache write/read of the wide rows
+      // costs more than the extraction chain it saves, and the extra
+      // pass overlaps with other work. Knob kept for corpora whose
+      // extraction is genuinely expensive (the checkpointed pipeline gets
+      // the single-pass property from its committed parquet stages).
+      val cacheRaw = spark.conf.get("spark.graft.pipeline.cacheRaw", "false").toBoolean
       val redirected0 = Linker.redirectEdges(rawTriples, linked.rewrite)
       val redirected = if (cacheRaw)
         redirected0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

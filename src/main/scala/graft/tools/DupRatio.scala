@@ -39,8 +39,17 @@ object DupRatio {
     val nBidir = raw.where($"bidirectional").count()
     val bytes = raw.withColumn("b",
       length(to_json(struct(raw.columns.map(col): _*)))).agg(sum($"b")).as[Long].head()
+    // the map-side-droppable bound: losers that share an INPUT partition
+    // with their group's other rows could be dropped before any exchange
+    // by a bounded per-task keep-max map (no global winner set needed) —
+    // if this is ≈ 0, the dup mass is cross-partition and no map-side
+    // combine of any form can cut the wide exchange
+    val nLocalGroups = raw
+      .groupBy(spark_partition_id().as("p"), $"srcId", $"relType", $"dstId")
+      .count().count()
     println(f"""{"probe":"dup","files":$files,"rawRows":$nRaw,"groups":$nGroups,""" +
       f""""losers":${nRaw - nGroups},"rowsInDupGroups":$nDupRows,""" +
+      f""""mapSideDroppable":${nRaw - nLocalGroups},""" +
       f""""bidir":$nBidir,"approxJsonMB":${bytes / 1e6}%.0f}""")
     spark.stop()
   }

@@ -313,7 +313,7 @@ class KeepRowBySpec extends SparkSpec {
         val g = graft.graphout.GraphBuilder.build(ents, fuzzedTriples(600, seed = 11L))
         val df = g.edges.toDF().withColumn("attributes", to_json(col("attributes")))
         (df, df.collect().map(_.toString).sorted.toSeq)
-      } finally spark.conf.set("spark.graft.dedup.bloom", "auto")
+      } finally spark.conf.unset("spark.graft.dedup.bloom")
     }
     val (dfOff, off) = edgesJson("off")
     val (dfOn, on) = edgesJson("force")
