@@ -3,6 +3,7 @@ package graft.graphout
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.model.{Entity, Triple}
+import graft.runtime.Observed
 
 /**
  * Graph materialization (SURVEY.md §2.7; reference
@@ -100,7 +101,9 @@ object GraphBuilder {
     val engageBloom = bloomConf match {
       case "off"   => false
       case "force" => true
-      case _       => raw.queryExecution.optimizedPlan.stats.sizeInBytes >= bloomMinBytes
+      case "auto"  => raw.queryExecution.optimizedPlan.stats.sizeInBytes >= bloomMinBytes
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.bloom must be off|auto|force, got '$other'")
     }
     // When the bloom engages, winners gains a second consumer (the bloom
     // side job plus the semi-join build side); localCheckpoint
@@ -111,8 +114,17 @@ object GraphBuilder {
     // checkpoint, no extra job.
     val winners = if (!engageBloom) winners0 else winners0.localCheckpoint(true)
     val preFiltered = if (!engageBloom) raw else {
+      // Size the filter's hash-function count from the REAL winner
+      // cardinality (the checkpoint makes count() a metadata read), not
+      // the bits budget: expecting bits/10 items mis-tunes k whenever
+      // winners exceed it and the FPR silently collapses toward 1 (every
+      // loser passes and the prefilter pays pure overhead). Bits stay the
+      // hard memory budget; an overload below ~10 bits/item is recorded
+      // as a gauge so a degraded filter is attributable, not silent.
+      val nWinners = winners.count().max(1L)
+      Observed.recordLast("dedup", Map("bloom_bits_per_item" -> bloomBits / nWinners))
       val bf = winners.select(xxhash64(col("_wid")).as("h"))
-        .stat.bloomFilter("h", (bloomBits / 10).max(1), bloomBits)
+        .stat.bloomFilter("h", nWinners, bloomBits)
       val bytes = {
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos); bos.toByteArray

@@ -125,7 +125,13 @@ object KgPipeline {
       // pass overlaps with other work. Knob kept for corpora whose
       // extraction is genuinely expensive (the checkpointed pipeline gets
       // the single-pass property from its committed parquet stages).
-      val cacheRaw = spark.conf.get("spark.graft.pipeline.cacheRaw", "false").toBoolean
+      // The cache is gated on `force` as well: only the eager path has a
+      // release point (below, once the edge cache materializes). A lazy
+      // run() hands the caller unevaluated datasets with no hook to free
+      // the wide-row cache, so persisting there would pin it for the
+      // session and evict the node/edge caches it exists to serve.
+      val cacheRaw = force &&
+        spark.conf.get("spark.graft.pipeline.cacheRaw", "false").toBoolean
       val redirected0 = Linker.redirectEdges(rawTriples, linked.rewrite)
       val redirected = if (cacheRaw)
         redirected0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

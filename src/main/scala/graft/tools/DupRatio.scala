@@ -35,10 +35,11 @@ object DupRatio {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGroups = groups.count()
     val nDupRows = groups.where($"count" > 1)
-      .agg(sum($"count")).as[Long].head()
+      .agg(coalesce(sum($"count"), lit(0L))).as[Long].head()
     val nBidir = raw.where($"bidirectional").count()
     val bytes = raw.withColumn("b",
-      length(to_json(struct(raw.columns.map(col): _*)))).agg(sum($"b")).as[Long].head()
+      length(to_json(struct(raw.columns.map(col): _*))))
+      .agg(coalesce(sum($"b".cast("long")), lit(0L))).as[Long].head()
     // the map-side-droppable bound: losers that share an INPUT partition
     // with their group's other rows could be dropped before any exchange
     // by a bounded per-task keep-max map (no global winner set needed) —

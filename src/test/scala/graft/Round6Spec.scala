@@ -309,11 +309,18 @@ class KeepRowBySpec extends SparkSpec {
       }.toSeq.toDS()
     def edgesJson(mode: String) = {
       spark.conf.set("spark.graft.dedup.bloom", mode)
+      // tiny bits budget: the default 64M bits would embed an 8 MB binary
+      // literal in the plan (and its hex render in the plan STRING below)
+      // for ~70 winner groups — identical code path, none of the cost
+      spark.conf.set("spark.graft.dedup.bloom.bits", "1024")
       try {
         val g = graft.graphout.GraphBuilder.build(ents, fuzzedTriples(600, seed = 11L))
         val df = g.edges.toDF().withColumn("attributes", to_json(col("attributes")))
         (df, df.collect().map(_.toString).sorted.toSeq)
-      } finally spark.conf.unset("spark.graft.dedup.bloom")
+      } finally {
+        spark.conf.unset("spark.graft.dedup.bloom")
+        spark.conf.unset("spark.graft.dedup.bloom.bits")
+      }
     }
     val (dfOff, off) = edgesJson("off")
     val (dfOn, on) = edgesJson("force")
