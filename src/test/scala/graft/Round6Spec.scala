@@ -339,6 +339,19 @@ class KeepRowBySpec extends SparkSpec {
     assert(semiIdx >= 0 && filterIdx > semiIdx,
       s"might_contain at $filterIdx, semi join at $semiIdx\n" + pOn.take(2000))
   }
+
+  test("bloom prefilter: an unknown mode throws instead of silently acting as auto") {
+    import spark.implicits._
+    val ents = Seq(graft.model.Entity("e1", "N1", "class", None, Map.empty,
+      0.9, "s0", "r", "p", "sha")).toDS()
+    spark.conf.set("spark.graft.dedup.bloom", "bloom")  // typo'd mode
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.graphout.GraphBuilder.build(ents, fuzzedTriples(10, seed = 3L))
+      }
+      assert(ex.getMessage.contains("off|auto|force"))
+    } finally spark.conf.unset("spark.graft.dedup.bloom")
+  }
 }
 
 /** Round-6 review regressions: null-name groups must behave like
