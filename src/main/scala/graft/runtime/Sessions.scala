@@ -24,8 +24,9 @@ object Sessions {
       // backed, which serializes shuffle I/O and caps core scaling (on a
       // real cluster this is local NVMe / remote shuffle service)
       .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
-        else System.getProperty("java.io.tmpdir"))
+        sys.env.getOrElse("GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+          else System.getProperty("java.io.tmpdir")))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true")) // A/B knob: AQE query-stage
       // barriers add driver-serial replan latency per exchange; production

@@ -79,6 +79,10 @@ object StageProbe {
     val totalSec = (System.currentTimeMillis() - t0) / 1e3
     val (s1, tt1) = stealTicks()
     val stealPm = (s1 - s0) * 1000 / math.max(1, tt1 - tt0)
+    // end-of-run calibration: a clean LAUNCH gate can't see a window that
+    // degrades mid-run (2.56M runs span 7-13 min, host episodes recur on
+    // a few-minute cadence) — the start/end pair bounds the drift
+    val cal1 = calibrate()
 
     // cumulative wall boundaries per lap (laps are sequential, driver-timed)
     var cum = t0.toDouble
@@ -93,7 +97,7 @@ object StageProbe {
         case None            => other.add(e)
       }
     }
-    println(f"""{"probe":"stage","files":$files,"cpus":$cpus,"parts":$parts,"wallSec":$totalSec%.1f,"stealPermille":$stealPm,"calMBs":$cal0%.0f,"triples":${staged.tripleCount},""" +
+    println(f"""{"probe":"stage","files":$files,"cpus":$cpus,"parts":$parts,"wallSec":$totalSec%.1f,"stealPermille":$stealPm,"calMBs":$cal0%.0f,"calMBsEnd":$cal1%.0f,"triples":${staged.tripleCount},""" +
       staged.stageSec.map { case (n, s) =>
         f""""$n":{"wallSec":$s%.1f,${aggs(n).json}}"""
       }.mkString(",") + s""","unattributed":{${other.json}}}""")
