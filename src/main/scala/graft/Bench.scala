@@ -317,7 +317,12 @@ object Bench {
     // FIXED at both levels so the compared jobs are plan-identical.
     val high = sys.env.getOrElse("SPARK_GRAFT_KG_HIGH", "8").toInt
     val low = sys.env.getOrElse("SPARK_GRAFT_KG_LOW", (high / 4).max(1).toString).toInt
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", (2 * high).toString).toInt
+    // fixed across BOTH levels (plan-identical pair), but scaling with
+    // the corpus: at the default 320k this stays 2*high = 16; a 2.56M
+    // run gets 32 so per-task aggregate state stays in the measured
+    // regime (Sessions.shufflePartitionsFor scaladoc)
+    val parts = sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
+      .getOrElse(graft.runtime.Sessions.shufflePartitionsFor(high, kgFiles))
 
     val deadline = System.nanoTime() + budgetSec * 1_000_000_000L
     def remaining(): Double = (deadline - System.nanoTime()) / 1e9

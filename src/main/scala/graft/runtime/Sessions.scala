@@ -14,6 +14,27 @@ object Sessions {
       shufflePartitions = cpus
     ).getOrCreate()
 
+  /** Per-task corpus slice the shuffle-partition contract is sized to.
+    * Measured basis (2.56M-file StageProbe pairs, BASELINE.md round 6):
+    * at 160k files/task the merge stage's tracked per-task execution
+    * memory peaks at 671 MB; at 80k files/task it is 436 MB and the
+    * 1.28M clean pair (80k files/task) showed 8-vs-2-thread CPU parity.
+    * 80k synthetic files ≈ 650k wide edge rows ≈ a few hundred MB of
+    * aggregate/join state — comfortably under both the OHA sort-fallback
+    * threshold (524k entries, Sessions.configure) and a 1 GB/task budget.
+    */
+  val FilesPerTask = 80000L
+
+  /** The scale contract stated at the OHA threshold below, as code:
+    * shuffle partitions grow with the corpus so per-task aggregate/join
+    * state stays bounded, never below 2× the core count (so every level
+    * of a scaling pair keeps full reduce-side parallelism). Both Bench
+    * and StageProbe default to this; a fixed-parts run of a 4× corpus
+    * is comparing different per-task regimes, not different core counts.
+    */
+  def shufflePartitionsFor(cores: Int, files: Long): Int =
+    math.max(2 * cores, ((files + FilesPerTask - 1) / FilesPerTask).toInt)
+
   def configure(
       b: SparkSession.Builder,
       shufflePartitions: Int
@@ -55,6 +76,15 @@ object Sessions {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("GRAFT_OHA_FALLBACK", "524288"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // A/B knobs for the shuffle WRITE path (the 2.56M probes attribute
+      // the 8-thread merge_build inflation to serialize+compress+memcpy
+      // write time — 6x more thread-seconds for the same 13 GB at 8
+      // threads vs 2, BASELINE.md round 6): codec trades bus bytes for
+      // compression CPU, buffer size trades flush frequency for heap
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "lz4"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_PROBE_FILES=1280000 SPARK_GRAFT_PROBE_CPUS=8 \
   *          sbt 'runMain graft.tools.StageProbe'
+  * Parts default to Sessions.shufflePartitionsFor(cpus, files) — a
+  * SCALING PAIR must pin SPARK_GRAFT_PROBE_PARTS (to the high level's
+  * value) so both levels run plan-identical jobs, as Bench does.
   */
 object StageProbe {
   private final class Agg {
@@ -58,7 +61,8 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val files = sys.env.getOrElse("SPARK_GRAFT_PROBE_FILES", "320000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_CPUS", "8").toInt
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "16").toInt
+    val parts = sys.env.get("SPARK_GRAFT_PROBE_PARTS").map(_.toInt)
+      .getOrElse(graft.runtime.Sessions.shufflePartitionsFor(cpus, files))
     val spark = graft.runtime.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), parts)
       .getOrCreate()
