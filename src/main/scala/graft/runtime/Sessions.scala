@@ -76,13 +76,19 @@ object Sessions {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("GRAFT_OHA_FALLBACK", "524288"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // A/B knobs for the shuffle WRITE path (the 2.56M probes attribute
-      // the 8-thread merge_build inflation to serialize+compress+memcpy
-      // write time — 6x more thread-seconds for the same 13 GB at 8
-      // threads vs 2, BASELINE.md round 6): codec trades bus bytes for
-      // compression CPU, buffer size trades flush frequency for heap
+      // zstd shuffle codec, measured not assumed (2.56M-file StageProbe
+      // A/B, BASELINE.md round 6): vs Spark's lz4 default it compresses
+      // the merge stage's wide-row exchange 2.1x smaller (13.2 -> 6.2 GB)
+      // and cuts per-compressed-GB write() thread-time 7x (132 -> 18.5
+      // s/GB at 8 threads), taking the 8-thread full-pipeline wall from
+      // 458 s to 238 s with NO compute-side penalty (merge CPU excluding
+      // write time was 1240-1340 s under both codecs; zstd decompression
+      // on the read side is included in those runs). At 100 TB the halved
+      // shuffle bytes are also network bytes. lz4 stays reachable for
+      // A/B via GRAFT_SHUFFLE_CODEC; the 1m file-buffer variant measured
+      // a smaller win than the codec and is not defaulted.
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "lz4"))
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       .config("spark.shuffle.file.buffer",
         sys.env.getOrElse("GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.session.timeZone", "UTC")
