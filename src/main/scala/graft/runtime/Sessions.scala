@@ -17,13 +17,15 @@ object Sessions {
   /** Per-task corpus slice the shuffle-partition contract is sized to.
     * Measured basis (2.56M-file StageProbe pairs, BASELINE.md round 6):
     * at 160k files/task the merge stage's tracked per-task execution
-    * memory peaks at 671 MB; at 80k files/task it is 436 MB and the
-    * 1.28M clean pair (80k files/task) showed 8-vs-2-thread CPU parity.
-    * 80k synthetic files ≈ 650k wide edge rows ≈ a few hundred MB of
-    * aggregate/join state — comfortably under both the OHA sort-fallback
-    * threshold (524k entries, Sessions.configure) and a 1 GB/task budget.
+    * memory peaks at 671 MB and 8-thread CPU inflates 2.2x; at 80k
+    * files/task it is 436 MB with compute parity restored; 40k
+    * files/task (~220 MB) additionally cut the SINGLE-thread merge wall
+    * ~20% (2-cpu rounds 584-586 s at 80k vs 465-477 s at 40k, each
+    * config twice at 0 permille steal — per-task cache locality, not a
+    * concurrency effect). Sized so state also stays far under the OHA
+    * sort-fallback threshold (524k entries, Sessions.configure).
     */
-  val FilesPerTask = 80000L
+  val FilesPerTask = 40000L
 
   /** The scale contract stated at the OHA threshold below, as code:
     * shuffle partitions grow with the corpus so per-task aggregate/join
