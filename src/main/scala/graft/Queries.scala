@@ -74,14 +74,45 @@ object Queries {
       .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
       .select("p_partkey", "p_name")
 
-  /** V3/X4 contradiction analog: self equi-join on (grouping key), pairs. */
+  /** V3/X4 contradiction analog: co-occurrence pairs within a grouping key.
+    *
+    * Round-7 shape (guide §2.4 — remove shuffles outright): the
+    * {distinct + self-join + pair-count} form scanned lineitem TWICE
+    * (Catalyst does not share the distinct subplan across the join's two
+    * sides) and ran 3 wide exchanges plus a broadcast build. Per-group
+    * pair generation is equivalent: collect_set(l_suppkey) per order IS
+    * the distinct supplier set (TPC-H bounds it at 7/order, so the
+    * per-group state is tiny), and exploding the sorted set's (i < j)
+    * combinations yields exactly the supp_a < supp_b pairs the self-join
+    * produced — one lineitem scan, 2 exchanges (order groupBy + pair
+    * groupBy), no join. Identical rows; equivalence proven against the
+    * unchanged DuckDB oracle (self-join form) at sf0.001/0.01/0.1.
+    */
   val q06_self_join_pairs: Q = (s, d) => {
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_suppkey").as("supp_a"))
-    val b = li.select(col("l_orderkey"), col("l_suppkey").as("supp_b"))
-    a.join(b, Seq("l_orderkey"))
-      .where(col("supp_a") < col("supp_b"))
-      .groupBy("supp_a", "supp_b").agg(count(lit(1)).as("n_shared_orders"))
+    val ss = sort_array(collect_set(col("l_suppkey")))
+    // repartition-after-read (guide §2.5 input skew): the sf inputs are
+    // single unsplittable parquet files, so the scan — and with it the
+    // whole partial collect_set — would otherwise run in ONE task. The
+    // explicit hash repartition on the grouping key is the exchange the
+    // groupBy needs anyway (same key, same partition count → no second
+    // exchange), it just moves it below the heavy per-group work.
+    val sets = t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      // explicit partition count (sized from the session conf, not a
+      // literal): a bare repartition(col) is AQE-coalescible right back
+      // to the single-task regime the repartition exists to break
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+      .groupBy("l_orderkey").agg(ss.as("ss"))
+    // pair generation as two Generate (explode) operators, not nested
+    // transform() lambdas: higher-order functions are CodegenFallback and
+    // re-evaluate interpreted per element (measured 6x the task CPU of
+    // this form for identical output)
+    sets
+      .select(posexplode(col("ss")).as(Seq("i", "supp_a")), col("ss"))
+      .select(col("supp_a"),
+        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("supp_b"))
+      .groupBy("supp_a", "supp_b")
+      .agg(count(lit(1)).as("n_shared_orders"))
   }
 
   // ---------------------------------------------------------------- window/topk
@@ -795,7 +826,10 @@ object Queries {
     */
   val q42_keywords: Q = (s, d) => {
     val stop = graft.segment.Summarizer.StopWords.toSeq.sorted
+    // repartition-after-read (guide §2.5): single unsplittable input file —
+    // without this the tokenize+explode+partial-count runs in ONE task
     val toks = t(s, d, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9_]+")).as("tok"))
       .where(length(col("tok")) > 2 && !col("tok").isin(stop: _*))
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))

@@ -122,16 +122,38 @@ final class GraphStorage(spark: SparkSession, root: String) {
         .option("path", path)
         .format("parquet").saveAsTable(table)
     }
-    write(g.nodes.toDF(), bucketTable(name, "nodes"), "id", s"${dir(name)}/bucketed/nodes")
-    write(g.edges.toDF(), bucketTable(name, "edges"), "srcId", s"${dir(name)}/bucketed/edges")
-    // DUAL-SORT-ORDER edge copy (round-4 verdict item 2): the same rows
-    // bucketed on dstId, so incoming-direction consumers (reverse
-    // traversal, in-degree aggregation, objName attaches) read
-    // pre-partitioned on THEIR join/grouping key exactly like outgoing
-    // consumers read the srcId copy. Storage is cheap at 100 TB; the
-    // per-consumer dstId exchange is not — paid once, at this write.
-    write(g.edges.toDF(), bucketTable(name, "edges_bydst"), "dstId",
-      s"${dir(name)}/bucketed/edges_bydst")
+    // the edge rows feed TWO writes (the srcId layout and the dstId dual
+    // copy) — persist so the upstream lineage runs once, not twice
+    // (guide §5: reuse > recompute when the consumer count is known)
+    val edgesDf = g.edges.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the three table writes are independent small-task jobs; submitted
+      // sequentially each leaves most executor cores idle during its
+      // commit/catalog tail. Overlap them from a small thread pool
+      // (guide §2.6 — actions are only sequential because the driver
+      // calls them sequentially); failures propagate via Await.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val writes = Seq(
+          Future(write(g.nodes.toDF(), bucketTable(name, "nodes"), "id",
+            s"${dir(name)}/bucketed/nodes")),
+          Future(write(edgesDf, bucketTable(name, "edges"), "srcId",
+            s"${dir(name)}/bucketed/edges")),
+          // DUAL-SORT-ORDER edge copy (round-4 verdict item 2): the same
+          // rows bucketed on dstId, so incoming-direction consumers
+          // (reverse traversal, in-degree aggregation, objName attaches)
+          // read pre-partitioned on THEIR join/grouping key exactly like
+          // outgoing consumers read the srcId copy. Storage is cheap at
+          // 100 TB; the per-consumer dstId exchange is not — paid once.
+          Future(write(edgesDf, bucketTable(name, "edges_bydst"), "dstId",
+            s"${dir(name)}/bucketed/edges_bydst")))
+        Await.result(Future.sequence(writes), Duration.Inf)
+      } finally pool.shutdown()
+    } finally edgesDf.unpersist(blocking = false)
   }
 
   def loadBucketed(name: String): Graph = {

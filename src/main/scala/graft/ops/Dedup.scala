@@ -63,6 +63,11 @@ object Dedup {
                       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
                       maxBucket: Int = 256): DataFrame = {
     val r = k / bands
+    // NOT persisted although three consumers read it (banding + both
+    // re-attach joins): measured round 7 — the columnar cache write/read
+    // of the signature rows costs more than re-running the one-pass
+    // native MinHashSignature scan (2.6 s vs 2.15 s for q24, task CPU
+    // 3x), the same negative result as the pipeline's cacheRaw knob.
     val withMh = docs
       .select(col(idCol).as("id"),
         graft.functions.MinHashSignature(col(textCol), k, 3).as("mh"))

@@ -76,7 +76,8 @@ object GraphQueryOps {
       maxDepth: Int = 3,
       direction: String = "outgoing",
       relTypes: Option[Seq[String]] = None,
-      entityTypes: Option[Seq[String]] = None
+      entityTypes: Option[Seq[String]] = None,
+      driverLimit: Long = DriverIterationLimit
   ): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
@@ -97,6 +98,67 @@ object GraphQueryOps {
       adj = adj.join(
         g.nodes.toDF().select($"id".as("toId"), $"entityType"), Seq("toId"))
         .where($"entityType".isin(ts: _*)).drop("entityType")
+    }
+
+    // ---- driver fast path (round-7, the findPath pattern): one collect
+    // job of the (already filtered) adjacency, then the identical
+    // visited-once BFS in memory — the distributed loop is 3+ driver-
+    // blocking jobs PER DEPTH (join+agg checkpoint, visited distinct
+    // checkpoint, emptiness probe) for kilobytes of frontier on small
+    // graphs. The winner rule is the same min(struct(fromId, relId,
+    // relType, direction)) in Spark's binary string order (Utf8Order);
+    // GraphQuerySpec pins driver ≡ distributed.
+    locally {
+      val lim = math.min(driverLimit, (Int.MaxValue - 2).toLong).toInt
+      // explicit column order: the entityTypes join reorders adj's columns
+      val rowsOpt = boundedCollect(
+        adj.select("fromId", "toId", "relId", "relType", "direction"), lim)
+      rowsOpt.foreach { rows =>
+        val byFrom = rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4)))
+          .groupBy(_._1)
+        val visited = scala.collection.mutable.HashSet(startId)
+        var frontier = Array(startId)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, String, String, Int)]
+        var depth = 1
+        while (depth <= maxDepth && frontier.nonEmpty) {
+          // winner per child: min over (fromId, relId, relType, direction)
+          // in UTF-8 binary order — field by field, like min(struct(...))
+          val best = scala.collection.mutable.HashMap
+            .empty[String, (String, String, String, String)]
+          frontier.foreach { f =>
+            byFrom.getOrElse(f, Array.empty).foreach {
+              case (fromId, toId, relId, relType, dir2) =>
+                if (!visited.contains(toId)) {
+                  val cand = (fromId, relId, relType, dir2)
+                  val cur = best.get(toId)
+                  def lt(a: (String, String, String, String),
+                         b: (String, String, String, String)): Boolean = {
+                    val c1 = graft.runtime.Utf8Order.compare(a._1, b._1)
+                    if (c1 != 0) return c1 < 0
+                    val c2 = graft.runtime.Utf8Order.compare(a._2, b._2)
+                    if (c2 != 0) return c2 < 0
+                    val c3 = graft.runtime.Utf8Order.compare(a._3, b._3)
+                    if (c3 != 0) return c3 < 0
+                    graft.runtime.Utf8Order.compare(a._4, b._4) < 0
+                  }
+                  if (cur.isEmpty || lt(cand, cur.get)) best(toId) = cand
+                }
+            }
+          }
+          val children = best.keys.toArray.sorted
+          children.foreach { c =>
+            val (p, rid, rt, dir2) = best(c)
+            out += ((p, rid, rt, dir2, c, depth))
+          }
+          visited ++= children
+          frontier = children
+          depth += 1
+        }
+        return out.toSeq
+          .toDF("parentId", "relId", "relType", "direction", "childId", "depth")
+      }
     }
 
     var visited = Seq(startId).toDF("id")
@@ -164,12 +226,15 @@ object GraphQueryOps {
     val adjDf = g.edges.toDF().select($"srcId".as("last"), $"dstId".as("next"))
       .distinct()
 
-    // ---- driver fast path: one collect job, then pure in-memory BFS
+    // ---- driver fast path: count + collect (two flat jobs), then pure
+    // in-memory BFS. The probe reads the PRE-distinct projection — the
+    // in-memory dedup below is free, and skipping distinct keeps both
+    // probe jobs exchange-free scans.
     locally {
-      val lim = math.min(driverLimit, (Int.MaxValue - 2).toLong).toInt
-      val es = adjDf.limit(lim + 1).collect()
-        .map(r => (r.getString(0), r.getString(1)))
-      if (es.length <= lim) {
+      val esOpt = boundedCollect(
+        g.edges.toDF().select($"srcId", $"dstId"), driverLimit)
+      esOpt.foreach { raw =>
+        val es = raw.map(r => (r.getString(0), r.getString(1))).distinct
         // sorted neighbor lists: enumeration order is deterministic (the
         // final (depth, path) sort makes the RESULT order-proof; sorting
         // keeps intermediate traversal reproducible for debugging)
@@ -420,6 +485,18 @@ object GraphQueryOps {
   val DriverIterationLimit: Long =
     sys.env.get("GRAFT_CENTRALITY_DRIVER_LIMIT").map(_.toLong).getOrElse(200000L)
 
+  /** Size-gated collect for the driver fast paths: one count job + one
+    * collect job — flat two jobs. The previous limit(lim+1).collect()
+    * probes paid Spark's incremental take, which escalates through up to
+    * four partial jobs, each re-running the probe lineage (round-7
+    * measurement: the escalation was most of the fast paths' residual
+    * wall time). The count pass is column-pruned and aggregates only —
+    * cheap even when the probe then bails to the distributed path.
+    */
+  private[graft] def boundedCollect(df: DataFrame, lim: Long)
+      : Option[Array[org.apache.spark.sql.Row]] =
+    if (df.count() > lim) None else Some(df.collect())
+
   /** Q9 pagerank — iterative join-aggregate loop with damping 0.85.
     * Dangling mass is redistributed uniformly each iteration.
     */
@@ -428,10 +505,18 @@ object GraphQueryOps {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val n = g.nodes.count().toDouble
+    // driver probe BEFORE the distinct+localCheckpoint: the checkpoint is
+    // only the distributed loop's lineage anchor, and paying its job (plus
+    // a count) just to decide the path wasted two jobs per call (round-7)
+    if (n <= driverLimit)
+      boundedCollect(g.edges.toDF().select($"srcId", $"dstId"), driverLimit)
+        .foreach { raw =>
+          return pagerankDriver(g,
+            raw.map(r => (r.getString(0), r.getString(1))).distinct, n,
+            iterations, damping)
+        }
     val edges = g.edges.toDF().select($"srcId", $"dstId").distinct()
       .localCheckpoint(true)
-    if (n <= driverLimit && edges.count() <= driverLimit)
-      return pagerankDriver(g, edges, n, iterations, damping)
     val outDeg = edges.groupBy($"srcId").agg(count(lit(1)).as("outDeg"))
     var ranks = g.nodes.toDF().select($"id", lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
@@ -467,13 +552,12 @@ object GraphQueryOps {
     * same IEEE operations the distributed path performs for in-degree ≤ 2
     * and deterministic regardless.
     */
-  private def pagerankDriver(g: Graph, edges: DataFrame, n: Double,
+  private def pagerankDriver(g: Graph, es: Array[(String, String)], n: Double,
                              iterations: Int, damping: Double): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val ids = g.nodes.toDF().select($"id").as[String].collect().sorted
     val idx = ids.zipWithIndex.toMap
-    val es = edges.collect().map(r => (r.getString(0), r.getString(1)))
     // out-degree counts ALL of a node's edges (even to dangling targets),
     // exactly like the distributed groupBy(srcId) — a node whose edges
     // all point at unknown ids is NOT a dangling node
@@ -523,11 +607,17 @@ object GraphQueryOps {
     // in-edges; the reference builds from an undirected metric sort — we
     // symmetrize so isolated direction quirks don't zero the vector)
     val dir = g.edges.toDF().select($"srcId".as("src"), $"dstId".as("dst"))
+    val n = g.nodes.count().toDouble
+    // driver probe before the distinct+localCheckpoint (see pagerank)
+    if (n <= driverLimit)
+      boundedCollect(dir.union(dir.select($"dst".as("src"), $"src".as("dst"))),
+          driverLimit)
+        .foreach { raw =>
+          return eigenvectorDriver(g,
+            raw.map(r => (r.getString(0), r.getString(1))).distinct, n, iterations)
+        }
     val edges = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
       .distinct().localCheckpoint(true)
-    val n = g.nodes.count().toDouble
-    if (n <= driverLimit && edges.count() <= driverLimit)
-      return eigenvectorDriver(g, edges, n, iterations)
     var x = g.nodes.toDF().select($"id", lit(1.0 / math.sqrt(n)).as("score"))
       .localCheckpoint(true)
     var i = 0
@@ -566,13 +656,13 @@ object GraphQueryOps {
     * normalization every 8th iteration and at the end — the same shift,
     * cadence, and floor as the join-aggregate path.
     */
-  private def eigenvectorDriver(g: Graph, und: DataFrame, n: Double,
+  private def eigenvectorDriver(g: Graph, und: Array[(String, String)], n: Double,
                                 iterations: Int): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val ids = g.nodes.toDF().select($"id").as[String].collect().sorted
     val idx = ids.zipWithIndex.toMap
-    val nbrs = und.collect().map(r => (r.getString(0), r.getString(1)))
+    val nbrs = und
       .filter(p => idx.contains(p._1) && idx.contains(p._2))
       .sortBy(_._1).groupBy(_._2)
       .map { case (d, ps) => idx(d) -> ps.map(p => idx(p._1)) }
@@ -726,12 +816,11 @@ object GraphQueryOps {
       : Option[(Array[String], Map[Int, Array[Int]], Map[String, Int])] = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    // clamp before toInt: a configured limit above Int.MaxValue would
-    // wrap and silently truncate the edge probe to an arbitrary subset
-    val lim = math.min(driverLimit, (Int.MaxValue - 2).toLong).toInt
-    val es = edgeDf.limit(lim + 1).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    if (es.length > lim) return None
+    val raw = boundedCollect(edgeDf, driverLimit).getOrElse(return None)
+    // in-memory dedup: callers pass the pre-distinct pair projection, so
+    // both probe jobs stay exchange-free scans (the distributed paths
+    // build their own distinct edge sets)
+    val es = raw.map(r => (r.getString(0), r.getString(1))).distinct
     val nodeIds = g.nodes.toDF().select($"id").as[String].collect().sorted
     val allIds = (nodeIds ++ es.map(_._1) ++ es.map(_._2)).distinct.sorted
     val idx = allIds.zipWithIndex.toMap
@@ -758,7 +847,8 @@ object GraphQueryOps {
     import spark.implicits._
     val n = g.nodes.count().toDouble
     if (n <= driverLimit) {
-      val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
+      // pre-distinct projection: collectForBfs dedups in memory
+      val edgeDf = g.edges.toDF().select($"srcId", $"dstId")
       collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val f = n / srcs.length.toDouble
@@ -811,8 +901,8 @@ object GraphQueryOps {
     import spark.implicits._
     val dir = g.edges.toDF().select($"srcId", $"dstId")
     if (g.nodes.count() <= driverLimit) {
+      // pre-distinct projection: collectForBfs dedups in memory
       val undDf = dir.union(dir.select($"dstId".as("srcId"), $"srcId".as("dstId")))
-        .distinct()
       collectForBfs(g, undDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val trees = driverBfs(adj, srcs.map(idx).toSeq, maxDepth)
@@ -855,7 +945,8 @@ object GraphQueryOps {
     import spark.implicits._
     val n = g.nodes.count().toDouble
     if (n <= driverLimit) {
-      val edgeDf = g.edges.toDF().select($"srcId", $"dstId").distinct()
+      // pre-distinct projection: collectForBfs dedups in memory
+      val edgeDf = g.edges.toDF().select($"srcId", $"dstId")
       collectForBfs(g, edgeDf, driverLimit).foreach { case (nodeIds, adj, idx) =>
         val srcs = driverSampleSources(nodeIds, samples)
         val sCnt = srcs.length.toDouble
