@@ -230,13 +230,26 @@ object GraphBuilder {
   def stats(g: Graph, full: Boolean = false): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val n = g.nodes.count().toDouble
-    val e = g.edges.count().toDouble
+    // ONE action computes both per-type breakdowns AND the node/edge
+    // totals (round-7: this was two count jobs plus a full recompute of
+    // both groupBys when the caller's own action ran the returned union).
+    // Side tags, not key prefixes, drive the local sums: a null
+    // entityType/relType produces a null key (exactly like the previous
+    // concat form) but must still count toward its side's total.
+    val typed = g.nodes.groupBy($"entityType").count()
+        .select(lit("E").as("side"), $"entityType".as("t"), $"count")
+      .union(g.edges.groupBy($"relType").count()
+        .select(lit("R").as("side"), $"relType".as("t"), $"count"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2)))
+    val n = typed.collect { case ("E", _, c) => c }.sum.toDouble
+    val e = typed.collect { case ("R", _, c) => c }.sum.toDouble
     val density = if (n > 1) e / (n * (n - 1)) else 0.0
-    val byEType = g.nodes.groupBy($"entityType").count()
-      .select(concat(lit("entity:"), $"entityType").as("key"), $"count".cast("double").as("value"))
-    val byRType = g.edges.groupBy($"relType").count()
-      .select(concat(lit("rel:"), $"relType").as("key"), $"count".cast("double").as("value"))
+    val typeRows = typed.map { case (side, t, c) =>
+      val prefix = if (side == "E") "entity:" else "rel:"
+      (if (t == null) null else prefix + t, c.toDouble)
+    }
     val extra =
       if (!full) Nil
       else {
@@ -251,9 +264,11 @@ object GraphBuilder {
               graft.query.GraphQueryOps.avgShortestPathSampled(g)))
           else Nil)
       }
-    val scalars = (Seq(("nodes", n), ("edges", e), ("density", density)) ++ extra)
+    // a LOCAL result relation: the row set is identical to the previous
+    // lazy union (scalars ++ entity breakdown ++ rel breakdown), already
+    // materialized — a caller's count()/collect() re-runs nothing
+    (Seq(("nodes", n), ("edges", e), ("density", density)) ++ extra ++ typeRows)
       .toDF("key", "value")
-    scalars.union(byEType).union(byRType)
   }
 
   /** Average local clustering coefficient over the undirected simple graph
@@ -272,9 +287,78 @@ object GraphBuilder {
     * neighborhood-sampling estimator; EXACT whenever deg(v) ≤ maxDegree
     * (every node of the small-graph parity tests).
     */
-  def avgClusteringCoefficient(g: Graph, maxDegree: Int = 256): Double = {
+  def avgClusteringCoefficient(g: Graph, maxDegree: Int = 256,
+                               driverLimit: Long =
+                                 graft.query.GraphQueryOps.DriverIterationLimit): Double = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
+
+    // ---- driver fast path (round-7): the distributed form is 2 eager
+    // localCheckpoints + head + count — ~8 driver-blocking jobs on tiny
+    // graphs. The mirror replicates the estimator literally: same
+    // undirected simple view, same (xxhash64, id)-ordered neighborhood
+    // sample at maxDegree, same wedge membership test, same k(v)(k−1)
+    // denominator; the cap counter lands in the same Observed registry.
+    locally {
+      val esOpt = graft.query.GraphQueryOps.boundedCollect(
+        g.edges.toDF().select($"srcId", $"dstId"), driverLimit)
+      esOpt.foreach { raw =>
+        // null-endpoint rows drop exactly like the distributed =!= filter
+        // (a null comparison is never true)
+        val und = raw.map(r => (r.getString(0), r.getString(1)))
+          .filter(p => p._1 != null && p._2 != null && p._1 != p._2)
+          .flatMap(p => Seq(p, p.swap)).distinct
+        val undSet = und.toSet
+        // sampled adjacency: per center, neighbors ordered by
+        // (xxhash64(x), x) — the exact window order of the distributed
+        // form (XXH64 seed 42, ties by UTF-8 binary id order)
+        def xxh(sv: String): Long =
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sv), 42L)
+        var dropped = 0L
+        val adj = und.groupBy(_._1).map { case (v, ps) =>
+          // hash order, ties in UTF-8 binary id order (NOT String.<,
+          // which is UTF-16 — same rule as the distributed window)
+          val ordered = ps.map(_._2).sortWith { (x, y) =>
+            val hx = xxh(x); val hy = xxh(y)
+            if (hx != hy) hx < hy else graft.runtime.Utf8Order.lt(x, y)
+          }
+          if (ordered.length > maxDegree) dropped += ordered.length - maxDegree
+          v -> ordered.take(maxDegree)
+        }
+        if (dropped > 0)
+          graft.runtime.Observed.record("clustering_deg_cap",
+            Map("dropped" -> dropped))
+        val nodeCount = g.nodes.count()
+        if (nodeCount == 0) return 0.0
+        // coefficient sum in sorted-center order (distributed partial-sum
+        // order is arbitrary; ≡ to fp ulp, GraphQuerySpec-pinned)
+        var coef = 0.0
+        adj.toSeq.sortBy(_._1).foreach { case (_, ns) =>
+          val k = ns.length
+          if (k >= 2) {
+            var tri = 0L
+            var i = 0
+            while (i < k) {
+              var j = i + 1
+              while (j < k) {
+                // wedge (x, y) with x < y in UTF-8 order; membership in
+                // the FULL undirected edge set (the distributed semi join
+                // probes und, not the capped adjacency)
+                val (x, y) = if (graft.runtime.Utf8Order.lt(ns(i), ns(j)))
+                  (ns(i), ns(j)) else (ns(j), ns(i))
+                if (undSet((x, y))) tri += 1
+                j += 1
+              }
+              i += 1
+            }
+            coef += tri * 2.0 / (k.toDouble * (k - 1))
+          }
+        }
+        return coef / nodeCount
+      }
+    }
+
     val dir = g.edges.toDF().select($"srcId".as("a"), $"dstId".as("b"))
       .where($"a" =!= $"b")
     val und = dir.union(dir.select($"b".as("a"), $"a".as("b"))).distinct()

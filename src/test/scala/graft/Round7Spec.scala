@@ -116,6 +116,42 @@ class Round7Spec extends SparkSpec {
     assert(neu.columns.toSeq == old.columns.toSeq)
   }
 
+  test("avgClusteringCoefficient driver mirror ≡ distributed (incl. deg cap)") {
+    // dense-ish wiring so triangles and the maxDegree cap both engage
+    val nodes = (0 until 30).map(i => ent(f"v$i%02d"))
+    val edges = (0 until 150).map { i =>
+      rel(s"c$i", f"v${i * 7 % 30}%02d", f"v${(i * 11 + 2) % 29}%02d")
+    } ++ Seq(rel("self", "v03", "v03"), rel("gx", "v00", "ghost"))
+    val g = gOf(nodes, edges)
+    for (cap <- Seq(256, 4)) {
+      val fast = GraphBuilder.avgClusteringCoefficient(g, maxDegree = cap)
+      val dist = GraphBuilder.avgClusteringCoefficient(g, maxDegree = cap,
+        driverLimit = 0)
+      assert(math.abs(fast - dist) < 1e-12, s"cap=$cap: $fast vs $dist")
+    }
+  }
+
+  test("stats single-action restructure: identical row set, null types kept") {
+    import spark.implicits._
+    val nodes = Seq(ent("a1"), ent("a2"), ent("b1").copy(entityType = "u"),
+      ent("n1").copy(entityType = null))
+    val edges = Seq(rel("e1", "a1", "a2"), rel("e2", "a2", "b1", "x"),
+      rel("en", "a1", "b1", null))
+    val g = gOf(nodes, edges)
+    val rowArr = GraphBuilder.stats(g).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rows = rowArr.toSet
+    assert(rows.contains(("nodes", 4.0)) && rows.contains(("edges", 3.0)))
+    assert(rows.contains(("entity:t", 2.0)) && rows.contains(("entity:u", 1.0)))
+    assert(rows.contains(("rel:r", 1.0)) && rows.contains(("rel:x", 1.0)))
+    // null entityType/relType → null key rows (the concat-null semantics),
+    // one from each side
+    assert(rowArr.count(_ == ((null, 1.0))) == 2)
+    assert(rowArr.length == 9) // 3 scalars + 3 entity + 3 rel groups
+    val density = rows.toMap.apply("density")
+    assert(math.abs(density - 3.0 / (4.0 * 3.0)) < 1e-15)
+  }
+
   test("findPath driver probe (pre-distinct collect) ≡ distributed") {
     val nodes = (0 until 8).map(i => ent(f"p$i%02d"))
     val edges = Seq(
