@@ -249,6 +249,10 @@ object Queries {
       lit(1.0).as("confidence"), lit("").as("segId"), lit("").as("repo"),
       lit("").as("path"), lit("").as("contentSha"))
 
+  /** Probe-visible accessor for [[tpchGraph]] (round-7 measurement tools). */
+  private[graft] def tpchGraphForProbe(s: SparkSession, d: String): graft.graphout.GraphBuilder.Graph =
+    tpchGraph(s, d)
+
   private def tpchGraph(s: SparkSession, d: String): graft.graphout.GraphBuilder.Graph = {
     import s.implicits._
     val cust = t(s, d, "customer").select(
@@ -445,7 +449,13 @@ object Queries {
     val capSnap = capBaseline(s)
     val docs = t(s, d, "documents")
     // estimate-filter candidates before the exact verification join —
-    // the LSH bands over-generate on low-vocabulary corpora
+    // the LSH bands over-generate on low-vocabulary corpora.
+    // (Round-7 negative results, measured and reverted: localCheckpointing
+    // this candidate set — and member-prefiltering the verify stage's
+    // shingle explode — each cut task CPU ~3x but ADDED enough stage
+    // latency that q24 wall regressed 2.15 s → 3.1 s at sf0.1; at this
+    // corpus size the duplicate-subtree recompute is cheaper than the
+    // extra stages. OPTIMIZATION_r07.md records the A/B.)
     val pairs = graft.ops.Dedup.minhashLshPairs(docs)
       .where(col("jaccard_est") >= 0.5)
     // persisted for the invariant's extra pass AND the driver's final

@@ -190,7 +190,14 @@ object Dedup {
     // native one-pass shingle hashing (ShingleHashes): the declarative
     // explode(shingles)+xxhash64 form pays interpreted HOF evaluation of
     // the shingle subtree per row — this scan runs over every candidate
-    // document, so it must stay in codegen
+    // document, so it must stay in codegen.
+    // (Round-7 negative result, measured and reverted: a member-set
+    // left-semi prefilter of `docs` — verify only pair participants —
+    // is the §3.2-correct shape at corpus scale, but at sf0.1 the extra
+    // distinct+semi stages cost more wall than the full-corpus explode
+    // they avoid, and the un-persisted candidate lineage re-ran per
+    // consumer. Re-apply when candidates ≪ corpus AND pairs arrive
+    // materialized, e.g. from a checkpoint table.)
     val hashed = docs.select(col(idCol).as("id"),
       graft.functions.ShingleHashes(col(textCol), n).as("shhs"))
     val exploded = hashed.select(col("id"), explode(col("shhs")).as("shh"))

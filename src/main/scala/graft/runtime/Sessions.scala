@@ -89,6 +89,10 @@ object Sessions {
       // shuffle bytes are also network bytes. lz4 stays reachable for
       // A/B via GRAFT_SHUFFLE_CODEC; the 1m file-buffer variant measured
       // a smaller win than the codec and is not defaulted.
+      // SCOPE NOTE (round-6 advice): spark.io.compression.codec is
+      // Spark's GLOBAL I/O codec — it also covers spill, broadcast and
+      // RDD-checkpoint compression, not shuffle alone; the env name is
+      // kept for compatibility with the archived A/B runs.
       .config("spark.io.compression.codec",
         sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       .config("spark.shuffle.file.buffer",
