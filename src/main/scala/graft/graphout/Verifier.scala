@@ -99,7 +99,12 @@ object Verifier {
         .where(lower($"relType").isin(HierarchicalTypes: _*))
         .select($"srcId", $"dstId"), lim)
       esOpt.foreach { rows =>
+        // null-endpoint rows are output-inert in the distributed form
+        // (a null join key never matches, a null === comparison is never
+        // true) but a Scala HashMap would treat null as a real key —
+        // drop them so the mirror cannot diverge on malformed input
         val es = rows.map(r => (r.getString(0), r.getString(1)))
+          .filter(p => p._1 != null && p._2 != null)
         val dedup = es.distinct
         val adj = dedup.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
         var reach = dedup.toSet
@@ -214,7 +219,10 @@ object Verifier {
         .where(lower($"relType").isin((NegationTypes ++ TransitiveTypes): _*))
         .select(lower($"relType").as("rt"), $"srcId", $"dstId"), lim)
       rowsOpt.foreach { raw =>
+        // null endpoints dropped — output-inert distributed (see
+        // cyclicDependencies), key-colliding in Scala sets
         val rows = raw.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .filter(t => t._2 != null && t._3 != null)
         val negSet = rows.collect {
           case (rt, s2, d2) if NegationTypes.contains(rt) => (s2, d2) }.toSet
         if (negSet.isEmpty) return spark.emptyDataset[Issue]

@@ -114,9 +114,14 @@ object GraphQueryOps {
       val rowsOpt = boundedCollect(
         adj.select("fromId", "toId", "relId", "relType", "direction"), lim)
       rowsOpt.foreach { rows =>
-        val byFrom = rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3), r.getString(4)))
-          .groupBy(_._1)
+        val tuples = rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+        // a null endpoint is NOT output-inert in the distributed loop
+        // (GROUP BY groups null children together and can emit a
+        // null-child row) — rather than replicate SQL null grouping in
+        // Scala maps, bail to the distributed path on malformed input
+        if (tuples.forall(t => t._1 != null && t._2 != null)) {
+          val byFrom = tuples.groupBy(_._1)
         val visited = scala.collection.mutable.HashSet(startId)
         var frontier = Array(startId)
         val out = scala.collection.mutable.ArrayBuffer
@@ -156,8 +161,9 @@ object GraphQueryOps {
           frontier = children
           depth += 1
         }
-        return out.toSeq
-          .toDF("parentId", "relId", "relType", "direction", "childId", "depth")
+          return out.toSeq
+            .toDF("parentId", "relId", "relType", "direction", "childId", "depth")
+        }
       }
     }
 
