@@ -150,6 +150,14 @@ object ConnectedComponents {
   private[link] def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
                              pairs: Array[(String, String)]): DataFrame = {
     import spark.implicits._
+    unionFindRows(pairs).toDF("id", "comp")
+  }
+
+  /** The union-find core of [[unionFindLocal]], returning rows so callers
+    * composing further local rows (withIsolated's fast path) can build
+    * ONE local relation instead of unioning DataFrames.
+    */
+  private def unionFindRows(pairs: Array[(String, String)]): Seq[(String, String)] = {
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x: String): String = {
       var r = x
@@ -167,13 +175,40 @@ object ConnectedComponents {
         if (graft.runtime.Utf8Order.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val rows = parent.keys.toSeq.map(k => (k, find(k)))
     // min-id labeling: find-root with a<b union keeps the min as root
-    rows.toDF("id", "comp")
+    parent.keys.toSeq.map(k => (k, find(k)))
   }
 
   /** run() plus passthrough for isolated ids not present in any edge. */
-  def withIsolated(edges: DataFrame, allIds: DataFrame): DataFrame = {
+  def withIsolated(edges: DataFrame, allIds: DataFrame,
+                   driverThreshold: Long = DriverThreshold): DataFrame = {
+    // ---- driver fast path (round-7): when BOTH the pair set and the id
+    // universe fit the driver limit, the union-find (already the
+    // small-graph CC path) AND the isolated-id passthrough run in memory
+    // as one local relation — the anti-join + union otherwise costs ~6
+    // distributed jobs to append ids the driver has already seen.
+    // Normalization mirrors run(): cast-to-string, self-loop and
+    // null-endpoint rows dropped (=!= never holds on null), Set ≡
+    // distinct; null ids in allIds stay isolated rows exactly like the
+    // null-key left-anti join keeps them.
+    locally {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      graft.query.GraphQueryOps.boundedCollect(
+        edges.select(col("src").cast("string"), col("dst").cast("string")),
+        driverThreshold).foreach { raw =>
+        graft.query.GraphQueryOps.boundedCollect(
+          allIds.select(col("id").cast("string")), driverThreshold).foreach { idRows =>
+          val pairs = raw.map(r => (r.getString(0), r.getString(1)))
+            .filter(p => p._1 != null && p._2 != null && p._1 != p._2).distinct
+          val ccRows = unionFindRows(pairs)
+          val ccIds = ccRows.map(_._1).toSet
+          val isolated = idRows.map(_.getString(0)).toSeq
+            .filterNot(id => id != null && ccIds(id)).map(id => (id, id))
+          return (ccRows ++ isolated).toDF("id", "comp")
+        }
+      }
+    }
     val cc = run(edges)
     val isolated = allIds.select(col("id"))
       .join(cc.select("id"), Seq("id"), "left_anti")

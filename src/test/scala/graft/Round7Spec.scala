@@ -152,6 +152,21 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(density - 3.0 / (4.0 * 3.0)) < 1e-15)
   }
 
+  test("withIsolated driver fast path ≡ distributed anti-join union") {
+    import spark.implicits._
+    import graft.link.ConnectedComponents
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("a", "a"), ("b", "a"))
+      .toDF("src", "dst")
+    // duplicate isolated ids and an id that also appears in an edge
+    val ids = Seq("a", "b", "c", "x", "y", "iso1", "iso2", "iso1").toDF("id")
+    val fast = ConnectedComponents.withIsolated(edges, ids)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val dist = ConnectedComponents.withIsolated(edges, ids, driverThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(fast == dist)
+    assert(fast.count(_ == (("iso1", "iso1"))) == 2) // dup rows preserved
+  }
+
   test("findPath driver probe (pre-distinct collect) ≡ distributed") {
     val nodes = (0 until 8).map(i => ent(f"p$i%02d"))
     val edges = Seq(
